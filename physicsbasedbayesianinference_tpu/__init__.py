@@ -1,0 +1,42 @@
+"""physicsbasedbayesianinference_tpu — TPU-native ensemble-HMC inference.
+
+A from-scratch, TPU-first rebuild of the capabilities of
+Anton-Le/PhysicsBasedBayesianInference (physics-flavoured ensemble HMC for
+probabilistic models): fused JAX/XLA/Pallas sampling kernels, walker-axis
+sharding over device meshes, a native probabilistic-model DSL, symplectic
+integrators, adaptation, tempering/SMC, and N-body physics targets.
+"""
+
+from . import adaptation, constants, ensemble, hmc
+from .constants import NATURAL, SI, Constants, solar_system_units
+from .ensemble import (
+    EnsembleState,
+    kinetic_energy,
+    new_ensemble,
+    sample_momenta,
+    sample_positions,
+)
+from .hmc import HMCInfo, HMCKernel, HMCState, build_hmc_kernel, run_hmc
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "adaptation",
+    "constants",
+    "ensemble",
+    "hmc",
+    "Constants",
+    "NATURAL",
+    "SI",
+    "solar_system_units",
+    "EnsembleState",
+    "new_ensemble",
+    "sample_positions",
+    "sample_momenta",
+    "kinetic_energy",
+    "HMCState",
+    "HMCInfo",
+    "HMCKernel",
+    "build_hmc_kernel",
+    "run_hmc",
+]

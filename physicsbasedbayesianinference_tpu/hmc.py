@@ -1,0 +1,347 @@
+"""Ensemble Hamiltonian Monte Carlo: one fused, jittable kernel.
+
+TPU-native redesign of the reference sampler (reference src/HMC.py:20-183).
+The reference's ``getSamples`` is a Python loop over samples around Python
+loops over walkers, with one ``jax.grad`` dispatch per walker per integration
+step (SURVEY.md §3.1). Here a *single* sampling transition is one pure
+function
+
+    step(key, state, step_size) -> (state', info)
+
+containing {thermal momentum refresh -> L leapfrog steps (lax.scan) ->
+momentum flip -> per-walker Metropolis accept} entirely inside XLA, batched
+over all walkers. ``run_hmc`` then drives warmup (dual-averaging step size +
+cross-walker metric estimation) and sampling with ``lax.scan`` over
+transitions; the whole chain is a handful of compiled programs regardless of
+``num_samples * num_walkers * num_steps``.
+
+Physical-constants semantics: the target at temperature T is
+``pi_T(q) ∝ exp(-U(q) / (k_B T))``; momenta are Maxwell-Boltzmann
+(std ``sqrt(m k_B T)``, reference ensemble.py:88) and the Metropolis ratio is
+``exp(-(H_new - H_old) / (k_B T))``. At ``k_B T = 1`` (the default NATURAL
+constants) this is standard HMC and matches the reference's test configs
+(reference test_HMC.py uses ``temperature = 1/k_B`` to the same effect).
+NOTE: the reference accepts with ``exp(H_old - H_new)`` (HMC.py:115)
+regardless of T, which is inconsistent with its thermal momenta for
+``k_B T != 1``; the tempered form here is the physically consistent one
+(reference references/NotesOnParticleBasedHMC.pdf, eq. 1: weights e^{-beta H})
+and reduces to the reference behaviour in every configuration its tests
+exercise.
+
+Fixed (not ported) reference bugs — SURVEY.md §7: rejected-walker momenta
+restored from *positions* (HMC.py:176); unseeded global RNG (HMC.py:170);
+in-place aliasing of ensemble arrays (integrator.py:40-43).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .adaptation import (
+    build_warmup_schedule,
+    da_init,
+    da_update,
+    variance_init,
+    variance_update,
+    regularized_mass,
+)
+from .constants import Constants, NATURAL
+from .ensemble import EnsembleState, kinetic_energy, thermal_momentum_std
+from .ops.integrators import get_integrator
+from .ops.potentials import batched_value_and_grad
+
+Array = jax.Array
+
+
+@struct.dataclass
+class HMCState:
+    """Sampler state: ensemble + cached potential energy and gradient."""
+
+    ensemble: EnsembleState
+    potential_energy: Array  # [W]
+    grad: Array  # [W, D]
+
+
+@struct.dataclass
+class HMCInfo:
+    """Per-transition diagnostics (the reference computes acceptance
+
+    probabilities per walker, HMC.py:168, then discards them — SURVEY.md §5
+    'Metrics' gap)."""
+
+    accept_prob: Array  # [W]
+    accepted: Array  # [W] bool
+    energy_error: Array  # [W] beta * (H_new - H_old)
+    divergent: Array  # [W] bool
+    potential_energy: Array  # [W]
+    step_size: Array  # scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCKernel:
+    """A built HMC transition kernel (static config closed over)."""
+
+    init: Callable[..., HMCState]
+    step: Callable[[Array, HMCState, Array], tuple[HMCState, HMCInfo]]
+    num_steps: int
+    grad_evals_per_step: int
+
+
+def build_hmc_kernel(
+    potential_fn: Callable[[Array], Array],
+    *,
+    num_steps: int,
+    integrator: str = "leapfrog",
+    temperature: Union[float, Array] = 1.0,
+    constants: Constants = NATURAL,
+    divergence_threshold: float = 1000.0,
+    use_analytic_grad: bool = True,
+) -> HMCKernel:
+    """Build the fused ensemble-HMC transition kernel.
+
+    Args:
+      potential_fn: per-walker potential ``q:[D] -> scalar`` (negative log
+        density). Batched internally; a closed-form ``analytic_grad``
+        attribute is used when present.
+      num_steps: leapfrog steps per trajectory (static; the scan length).
+      integrator: one of ``ops.integrators.INTEGRATORS``.
+      temperature: tempering temperature T; target is exp(-U/(k_B T)).
+      divergence_threshold: energy error (in units of k_B T) above which a
+        trajectory is flagged divergent and rejected.
+    """
+    integ = get_integrator(integrator)
+    vg = batched_value_and_grad(potential_fn, use_analytic=use_analytic_grad)
+    beta = constants.beta(temperature)
+
+    def init(q: Array, *, mass: Union[float, Array] = 1.0) -> HMCState:
+        q = jnp.asarray(q)
+        if q.ndim != 2:
+            raise ValueError(
+                f"init positions must be [num_walkers, num_dims]; got shape "
+                f"{q.shape}. For a single walker pass q[None, :].")
+        mass_arr = jnp.asarray(mass, dtype=q.dtype)
+        u, g = vg(q)
+        ens = EnsembleState(
+            q=q,
+            p=jnp.zeros_like(q),
+            mass=mass_arr,
+            log_weight=jnp.zeros(q.shape[:1], dtype=q.dtype),
+        )
+        return HMCState(ensemble=ens, potential_energy=u, grad=g)
+
+    def step(key: Array, state: HMCState, step_size: Array,
+             mass: Optional[Array] = None) -> tuple[HMCState, HMCInfo]:
+        ens = state.ensemble
+        if mass is None:
+            mass = ens.mass
+        key_mom, key_acc = jax.random.split(key)
+
+        # Thermal momentum refresh (reference HMC.py:154 -> ensemble.py:78-93)
+        p_std = thermal_momentum_std(mass, temperature, constants)
+        p0 = p_std * jax.random.normal(key_mom, ens.p.shape, dtype=ens.p.dtype)
+
+        inv_mass = 1.0 / mass
+        q1, p1, u1, g1 = integ(
+            vg, ens.q, p0, step_size=step_size, num_steps=num_steps,
+            inv_mass=inv_mass, grad=state.grad,
+            potential_energy=state.potential_energy)
+        # Momentum flip for formal reversibility (reference HMC.py:164);
+        # statistically a no-op under full refresh but kept so the proposal
+        # is exactly its own inverse.
+        p1 = -p1
+
+        h0 = kinetic_energy(p0, mass) + state.potential_energy
+        h1 = kinetic_energy(p1, mass) + u1
+        energy_error = beta * (h1 - h0)
+        energy_error = jnp.where(jnp.isnan(energy_error), jnp.inf, energy_error)
+        divergent = energy_error > divergence_threshold
+
+        log_u = jnp.log(jax.random.uniform(
+            key_acc, energy_error.shape, dtype=ens.q.dtype,
+            minval=jnp.finfo(ens.q.dtype).tiny))
+        accepted = (log_u < -energy_error) & ~divergent
+        accept_prob = jnp.exp(jnp.minimum(0.0, -energy_error))
+        accept_prob = jnp.where(divergent, 0.0, accept_prob)
+
+        sel = accepted[:, None]
+        new_ens = ens.replace(
+            q=jnp.where(sel, q1, ens.q),
+            p=jnp.where(sel, p1, p0),  # NOT oldQ — reference HMC.py:176 bug
+            mass=mass,
+        )
+        new_state = HMCState(
+            ensemble=new_ens,
+            potential_energy=jnp.where(accepted, u1, state.potential_energy),
+            grad=jnp.where(sel, g1, state.grad),
+        )
+        info = HMCInfo(
+            accept_prob=accept_prob,
+            accepted=accepted,
+            energy_error=energy_error,
+            divergent=divergent,
+            potential_energy=new_state.potential_energy,
+            step_size=jnp.asarray(step_size),
+        )
+        return new_state, info
+
+    return HMCKernel(
+        init=init,
+        step=step,
+        num_steps=num_steps,
+        grad_evals_per_step=getattr(integ, "grad_evals_per_step", 1),
+    )
+
+
+@dataclasses.dataclass
+class HMCRunResult:
+    """Output of :func:`run_hmc`."""
+
+    state: HMCState
+    samples: Optional[Array]  # [S, W, D] if collect="samples"
+    mean: Optional[Array]  # [D] streaming posterior mean (collect="moments")
+    var: Optional[Array]  # [D] streaming posterior variance
+    accept_rate: Array  # scalar, post-warmup mean
+    divergence_rate: Array  # scalar
+    step_size: Array  # adapted step size
+    mass: Array  # adapted (diagonal) mass / metric
+    num_grad_evals: int  # total potential-gradient evaluations (all walkers)
+
+
+def run_hmc(
+    key: Array,
+    potential_fn: Callable[[Array], Array],
+    init_q: Array,
+    *,
+    num_warmup: int,
+    num_samples: int,
+    num_steps: int,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.8,
+    adapt_step_size: bool = True,
+    adapt_mass: bool = True,
+    mass: Union[float, Array] = 1.0,
+    integrator: str = "leapfrog",
+    temperature: Union[float, Array] = 1.0,
+    constants: Constants = NATURAL,
+    collect: str = "samples",
+    thin: int = 1,
+) -> HMCRunResult:
+    """Warmup-adapt and sample with ensemble HMC.
+
+    Warmup uses dual averaging for the step size (Hoffman & Gelman 2014, the
+    adaptation scheme specified in the reference's NotesOnParticleBasedHMC.pdf
+    and checked-in NUTS paper) with the acceptance statistic averaged over the
+    whole ensemble, and — uniquely possible with many walkers — a
+    *cross-walker* variance estimate for the diagonal metric (mass = 1/var),
+    far lower-variance than single-chain Welford at equal wall-clock.
+
+    ``collect``: "samples" stacks thinned positions ``[S, W, D]``;
+    "moments" streams posterior mean/variance (O(D) memory — required at
+    10^5 walkers, BASELINE.json config 5); "none" keeps only diagnostics.
+    """
+    if collect not in ("samples", "moments", "none"):
+        raise ValueError(f"bad collect={collect!r}")
+    kernel = build_hmc_kernel(
+        potential_fn, num_steps=num_steps, integrator=integrator,
+        temperature=temperature, constants=constants)
+    state = kernel.init(jnp.asarray(init_q), mass=mass)
+    num_dims = state.ensemble.num_dims
+    dtype = state.ensemble.q.dtype
+
+    key, warm_key = jax.random.split(key)
+
+    # ---- warmup -----------------------------------------------------------
+    step_size = jnp.asarray(init_step_size, dtype=dtype)
+    mass_arr = jnp.broadcast_to(
+        jnp.asarray(mass, dtype=dtype), (1, num_dims))[0]
+
+    if num_warmup > 0:
+        segments = build_warmup_schedule(num_warmup, adapt_mass=adapt_mass)
+
+        def warm_body(carry, key):
+            st, da, varst = carry
+            new_st, info = kernel.step(key, st, jnp.exp(da.log_step))
+            da = da_update(da, jnp.mean(info.accept_prob),
+                           target=target_accept, enabled=adapt_step_size)
+            varst = variance_update(varst, new_st.ensemble.q)
+            return (new_st, da, varst), None
+
+        warm_scan = jax.jit(lambda carry, keys: jax.lax.scan(
+            warm_body, carry, keys))
+
+        for seg in segments:
+            da = da_init(step_size)
+            varst = variance_init(num_dims, dtype)
+            keys = jax.random.split(
+                jax.random.fold_in(warm_key, seg.index), seg.length)
+            (state, da, varst), _ = warm_scan((state, da, varst), keys)
+            step_size = jnp.exp(da.log_avg_step) if adapt_step_size \
+                else step_size
+            if seg.update_mass and adapt_mass:
+                var = regularized_mass(varst)
+                mass_arr = 1.0 / var
+                state = state.replace(
+                    ensemble=state.ensemble.replace(mass=mass_arr))
+
+    # ---- sampling ---------------------------------------------------------
+    def sample_body(carry, key):
+        st, mean, m2, n = carry
+        new_st, info = kernel.step(key, st, step_size)
+        out = {}
+        scal = {
+            "accept": jnp.mean(info.accept_prob),
+            "div": jnp.mean(info.divergent.astype(dtype)),
+        }
+        if collect == "samples":
+            out["q"] = new_st.ensemble.q
+        elif collect == "moments":
+            # streaming Welford over (step, walker) pairs
+            q = new_st.ensemble.q
+            w = q.shape[0]
+            n_new = n + w
+            batch_mean = jnp.mean(q, axis=0)
+            delta = batch_mean - mean
+            mean = mean + delta * (w / n_new)
+            batch_m2 = jnp.sum((q - batch_mean) ** 2, axis=0)
+            m2 = m2 + batch_m2 + delta**2 * (n * w / n_new)
+            n = n_new
+        return (new_st, mean, m2, n), (out, scal)
+
+    mean0 = jnp.zeros((num_dims,), dtype)
+    m2_0 = jnp.zeros((num_dims,), dtype)
+    n0 = jnp.zeros((), dtype)
+    keys = jax.random.split(key, num_samples)
+
+    @jax.jit
+    def sample_scan(state, keys):
+        return jax.lax.scan(sample_body, (state, mean0, m2_0, n0), keys)
+
+    (state, mean, m2, n), (outs, scals) = sample_scan(state, keys)
+
+    samples = None
+    post_mean = post_var = None
+    if collect == "samples":
+        samples = outs["q"][::thin]
+    elif collect == "moments":
+        post_mean = mean
+        post_var = m2 / jnp.maximum(n - 1.0, 1.0)
+
+    num_walkers = state.ensemble.num_walkers
+    total_grads = ((num_warmup + num_samples) * num_walkers
+                   * (kernel.num_steps * kernel.grad_evals_per_step + 1))
+    return HMCRunResult(
+        state=state,
+        samples=samples,
+        mean=post_mean,
+        var=post_var,
+        accept_rate=jnp.mean(scals["accept"]),
+        divergence_rate=jnp.mean(scals["div"]),
+        step_size=step_size,
+        mass=mass_arr,
+        num_grad_evals=total_grads,
+    )
