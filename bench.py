@@ -1,0 +1,143 @@
+"""Headline benchmark: effective samples/sec/chip at ~10^5 sharded walkers.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Config (BASELINE.json north star): ensemble HMC, 102400 walkers, 32-dim
+standard-normal target, 16 leapfrog steps/transition, diagonal unit metric,
+initialised in the stationary distribution so ESS is well-defined.
+
+Baseline: the reference implementation (pure-Python per-walker loops with a
+jax.grad dispatch per walker per step, /root/reference/src/HMC.py:123-183 +
+integrator.py:94-123) measures ~220 gradient evaluations/second on this
+machine's CPU, dimension-independent because it is dispatch-bound
+(benchmarks/measure_reference.py, BASELINE.md). Both samplers spend the same
+gradient budget per transition at equal config, so
+vs_baseline = (our grad evals/sec) / 220.
+
+Environment defenses: the TPU is reached through a tunnel where (a) each
+dispatch costs ~0.2 s round trip and (b) bulk device->host transfers can
+stall. So the timed region is ONE device-side lax.scan over all transitions,
+the ESS autocorrelation is computed on device, and only scalars cross the
+tunnel. jax.block_until_ready does not reliably block on this experimental
+backend — synchronisation is via scalar readback.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import physicsbasedbayesianinference_tpu as pbbi
+from physicsbasedbayesianinference_tpu.adaptation import da_init, da_update
+from physicsbasedbayesianinference_tpu.ops import potentials as pot
+
+REF_GRAD_EVALS_PER_SEC = 220.0  # measured: benchmarks/measure_reference.py
+
+NUM_WALKERS = 102_400
+NUM_DIMS = 32
+NUM_STEPS = 16
+ADAPT_ITERS = 40
+TIMED_TRANSITIONS = 256
+ESS_WALKERS = 512
+ESS_DIMS = 4
+MAX_LAG = 64
+
+
+def device_ess_fraction(hist):
+    """Mean ESS fraction via initial-positive-sequence autocorrelations,
+
+    computed entirely on device. hist: [T, W, D] -> scalar in (0, 1]."""
+    t = hist.shape[0]
+    x = hist - jnp.mean(hist, axis=0, keepdims=True)
+    var = jnp.mean(x * x, axis=0) + 1e-12
+
+    def rho(lag):
+        prod = x[:t - lag] * x[lag:]
+        return jnp.mean(jnp.mean(prod, axis=0) / var)
+
+    rhos = jnp.stack([rho(lag) for lag in range(1, MAX_LAG)])
+    # truncate at first negative autocorrelation
+    positive = jnp.cumprod(rhos > 0.0) > 0
+    tau = 1.0 + 2.0 * jnp.sum(jnp.where(positive, rhos, 0.0))
+    return jnp.clip(1.0 / tau, 1e-4, 1.0)
+
+
+def main():
+    target = pot.make_standard_normal(NUM_DIMS)
+    kernel = pbbi.build_hmc_kernel(target, num_steps=NUM_STEPS)
+
+    key = jax.random.key(0)
+    key, k_init = jax.random.split(key)
+    q0 = jax.random.normal(k_init, (NUM_WALKERS, NUM_DIMS), dtype=jnp.float32)
+    state = kernel.init(q0)
+
+    # --- step-size adaptation (not timed) -----------------------------------
+    @jax.jit
+    def adapt_block(state, da, keys):
+        def body(carry, k):
+            st, da = carry
+            st, info = kernel.step(k, st, jnp.exp(da.log_step))
+            da = da_update(da, jnp.mean(info.accept_prob), target=0.8)
+            return (st, da), None
+        (state, da), _ = jax.lax.scan(body, (state, da), keys)
+        return state, da
+
+    key, k_adapt = jax.random.split(key)
+    state, da = adapt_block(state, da_init(0.2),
+                            jax.random.split(k_adapt, ADAPT_ITERS))
+    step_size = jnp.exp(da.log_avg_step)
+    float(step_size)  # sync
+
+    # --- timed region: one dispatch, scan over all transitions --------------
+    @jax.jit
+    def run_block(state, keys, step_size):
+        def body(st, k):
+            st, info = kernel.step(k, st, step_size)
+            return st, (st.ensemble.q[:ESS_WALKERS, :ESS_DIMS],
+                        jnp.mean(info.accept_prob))
+        state, (hist, acc) = jax.lax.scan(body, state, keys)
+        return state, hist, jnp.mean(acc)
+
+    key, k_warm, k_timed = jax.random.split(key, 3)
+    # compile + warm with identical shapes
+    state, _, acc = run_block(
+        state, jax.random.split(k_warm, TIMED_TRANSITIONS), step_size)
+    float(acc)  # sync
+
+    t0 = time.time()
+    state, hist, acc = run_block(
+        state, jax.random.split(k_timed, TIMED_TRANSITIONS), step_size)
+    accept_rate = float(acc)  # scalar readback = true sync
+    elapsed = time.time() - t0
+
+    frac = float(jax.jit(device_ess_fraction)(hist))
+
+    walker_transitions_per_sec = TIMED_TRANSITIONS * NUM_WALKERS / elapsed
+    ess_per_sec = walker_transitions_per_sec * frac
+    grad_evals_per_sec = walker_transitions_per_sec * (NUM_STEPS + 1)
+
+    n_chips = max(len(jax.devices()), 1)
+    result = {
+        "metric": "effective_samples_per_sec_per_chip",
+        "value": round(ess_per_sec / n_chips, 1),
+        "unit": "ESS/s/chip (32-dim std normal, 102400 walkers, 16-step HMC)",
+        "vs_baseline": round(grad_evals_per_sec / REF_GRAD_EVALS_PER_SEC, 1),
+        "detail": {
+            "walker_transitions_per_sec": round(walker_transitions_per_sec),
+            "grad_evals_per_sec": round(grad_evals_per_sec),
+            "accept_rate": round(accept_rate, 4),
+            "ess_fraction_per_transition": round(frac, 4),
+            "step_size": round(float(step_size), 4),
+            "wall_seconds_timed": round(elapsed, 3),
+            "timed_transitions": TIMED_TRANSITIONS,
+            "device": str(jax.devices()[0]),
+            "baseline_grad_evals_per_sec": REF_GRAD_EVALS_PER_SEC,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The distributed-testing capability the reference lacks entirely
+(SURVEY.md §4: "Distributed testing: none exists").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import physicsbasedbayesianinference_tpu as pbbi
+from physicsbasedbayesianinference_tpu import parallel as par
+from physicsbasedbayesianinference_tpu.ops import potentials as pot
+
+
+def test_mesh_has_8_devices():
+    mesh = par.make_walker_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_ensemble_placement():
+    mesh = par.make_walker_mesh()
+    state = pbbi.new_ensemble(num_walkers=64, num_dims=4,
+                              mass=jnp.ones(4))
+    sharded = par.shard_ensemble(state, mesh)
+    # q/p/log_weight split on walkers; per-dim mass replicated
+    assert sharded.q.sharding.is_equivalent_to(
+        par.walker_sharding(mesh, 2), 2)
+    assert len(sharded.q.addressable_shards) == 8
+    assert sharded.q.addressable_shards[0].data.shape == (8, 4)
+    assert sharded.mass.sharding.is_fully_replicated
+
+
+def test_gspmd_run_bitwise_matches_single_device():
+    # Same key, fixed step size: GSPMD sharding must not change results at
+    # all (threefry is partitionable, per-walker ops are element-wise).
+    fn = pot.make_banana()
+    q0 = jax.random.normal(jax.random.key(0), (64, 2))
+    kw = dict(num_warmup=0, num_samples=30, num_steps=8, init_step_size=0.05)
+    r_single = pbbi.run_hmc(jax.random.key(1), fn, q0, **kw)
+    mesh = par.make_walker_mesh()
+    r_shard = par.sharded_run_hmc(jax.random.key(1), fn, q0, mesh=mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(r_single.samples),
+                                  np.asarray(r_shard.samples))
+
+
+def test_gspmd_adapted_run_matches_moments():
+    # With warmup, cross-walker reductions reorder float sums, so agreement
+    # is statistical: posterior moments must match to MC error.
+    fn = pot.make_standard_normal(3)
+    q0 = jax.random.normal(jax.random.key(4), (1024, 3))
+    kw = dict(num_warmup=150, num_samples=150, num_steps=10,
+              collect="moments")
+    r_single = pbbi.run_hmc(jax.random.key(5), fn, q0, **kw)
+    mesh = par.make_walker_mesh()
+    r_shard = par.sharded_run_hmc(jax.random.key(5), fn, q0, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(r_shard.mean),
+                               np.asarray(r_single.mean), atol=0.05)
+    np.testing.assert_allclose(np.asarray(r_shard.var),
+                               np.asarray(r_single.var), rtol=0.08)
+
+
+def test_shard_map_step_stats_and_moments():
+    fn = pot.make_standard_normal(2)
+    kernel = pbbi.build_hmc_kernel(fn, num_steps=12)
+    mesh = par.make_walker_mesh()
+    q0 = jax.random.normal(jax.random.key(2), (4096, 2))
+    state = kernel.init(q0)
+    state = par.shard_ensemble(state, mesh)
+    step = par.build_sharded_hmc_step(kernel, mesh, state)
+
+    key = jax.random.key(3)
+    qs = []
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        state, info, stats = step(sub, state, 0.3)
+        if i >= 15:
+            qs.append(np.asarray(state.ensemble.q))
+    assert 0.7 < float(stats["accept_rate"]) <= 1.0
+    assert float(stats["divergence_rate"]) == 0.0
+    samples = np.concatenate(qs, 0)
+    np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=0.05)
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, rtol=0.05)
+    # state stays sharded across steps (no silent gather)
+    assert len(state.ensemble.q.addressable_shards) == 8
+
+
+def test_shard_map_per_shard_rng_distinct():
+    # Different shards must draw different momenta (key folded by axis idx).
+    fn = pot.make_standard_normal(2)
+    kernel = pbbi.build_hmc_kernel(fn, num_steps=2)
+    mesh = par.make_walker_mesh()
+    q0 = jnp.zeros((16, 2))
+    state = par.shard_ensemble(kernel.init(q0), mesh)
+    step = par.build_sharded_hmc_step(kernel, mesh, state)
+    state, info, _ = step(jax.random.key(0), state, 0.2)
+    p = np.asarray(state.ensemble.p).reshape(8, 2, 2)  # [shard, local_w, D]
+    # no two shards share the same momentum block
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.allclose(p[i], p[j])
+
+
+def test_walker_divisibility_error():
+    fn = pot.make_standard_normal(2)
+    mesh = par.make_walker_mesh()
+    try:
+        par.sharded_run_hmc(jax.random.key(0), fn, jnp.zeros((30, 2)),
+                            mesh=mesh, num_warmup=0, num_samples=1,
+                            num_steps=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "divisible" in str(e)
+
+
+def test_initialize_distributed_single_host_noop():
+    summary = par.initialize_distributed()
+    assert summary["process_count"] == 1
+    assert summary["global_devices"] == 8
