@@ -1,0 +1,267 @@
+"""Model-DSL tests: distributions, transforms, tracing, potentials, and
+end-to-end posterior parity on the reference's example models
+(reference samples/NumpyroExamples/: CoinToss.py, eight_schools.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as sps
+
+import physicsbasedbayesianinference_tpu as pbbi
+from physicsbasedbayesianinference_tpu import models
+from physicsbasedbayesianinference_tpu.models import (
+    distributions as dist,
+    examples,
+    transforms as tfm,
+)
+
+
+# ---------------------------------------------------------------------------
+# distributions vs scipy
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("d,ref,xs", [
+    (dist.Normal(1.0, 2.0), sps.norm(1.0, 2.0), [-3.0, 0.0, 2.5]),
+    (dist.HalfNormal(2.0), sps.halfnorm(0, 2.0), [0.1, 1.0, 5.0]),
+    (dist.Cauchy(0.5, 2.0), sps.cauchy(0.5, 2.0), [-2.0, 0.5, 9.0]),
+    (dist.HalfCauchy(5.0), sps.halfcauchy(0, 5.0), [0.2, 2.0, 30.0]),
+    (dist.Uniform(-1.0, 3.0), sps.uniform(-1.0, 4.0), [-0.5, 0.0, 2.9]),
+    (dist.Exponential(1.7), sps.expon(0, 1 / 1.7), [0.1, 1.0, 4.0]),
+    (dist.Gamma(2.5, 1.3), sps.gamma(2.5, scale=1 / 1.3), [0.3, 2.0, 7.0]),
+    (dist.Beta(2.0, 3.0), sps.beta(2.0, 3.0), [0.1, 0.5, 0.9]),
+    (dist.LogNormal(0.3, 0.8), sps.lognorm(0.8, scale=np.exp(0.3)),
+     [0.2, 1.0, 4.0]),
+    (dist.StudentT(4.0, 0.5, 1.5), sps.t(4.0, 0.5, 1.5), [-2.0, 0.5, 3.0]),
+    (dist.Laplace(0.2, 1.1), sps.laplace(0.2, 1.1), [-2.0, 0.2, 3.0]),
+])
+def test_continuous_logpdf_matches_scipy(d, ref, xs):
+    for x in xs:
+        np.testing.assert_allclose(
+            float(d.log_prob(jnp.asarray(x))), ref.logpdf(x),
+            rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("d,ref,xs", [
+    (dist.Bernoulli(0.3), sps.bernoulli(0.3), [0, 1]),
+    (dist.Binomial(10, 0.4), sps.binom(10, 0.4), [0, 4, 10]),
+    (dist.Poisson(3.5), sps.poisson(3.5), [0, 3, 8]),
+])
+def test_discrete_logpmf_matches_scipy(d, ref, xs):
+    for x in xs:
+        np.testing.assert_allclose(
+            float(d.log_prob(jnp.asarray(float(x)))), ref.logpmf(x),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_bernoulli_logits_matches_probs():
+    logits = jnp.array([-2.0, 0.0, 1.5])
+    p = jax.nn.sigmoid(logits)
+    for v in (0.0, 1.0):
+        np.testing.assert_allclose(
+            dist.BernoulliLogits(logits).log_prob(v),
+            dist.Bernoulli(p).log_prob(v), rtol=1e-5)
+
+
+def test_mvn_matches_scipy():
+    mean = np.array([1.0, -2.0])
+    cov = np.array([[2.0, 0.6], [0.6, 1.0]])
+    d = dist.MultivariateNormal(mean, cov=cov)
+    for x in ([0.0, 0.0], [1.0, -2.0], [3.0, 1.0]):
+        np.testing.assert_allclose(
+            float(d.log_prob(jnp.asarray(x))),
+            sps.multivariate_normal(mean, cov).logpdf(x), rtol=1e-5)
+
+
+def test_sampling_moments():
+    key = jax.random.key(0)
+    x = dist.Gamma(3.0, 2.0).sample(key, (200_000,))
+    np.testing.assert_allclose(float(jnp.mean(x)), 1.5, rtol=0.02)
+    x = dist.Beta(2.0, 5.0).sample(key, (200_000,))
+    np.testing.assert_allclose(float(jnp.mean(x)), 2.0 / 7.0, rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("t", [
+    tfm.IDENTITY, tfm.POSITIVE, tfm.UNIT_INTERVAL,
+    tfm.IntervalTransform(-2.0, 5.0),
+])
+def test_transform_roundtrip_and_jacobian(t):
+    x = jnp.linspace(-3.0, 3.0, 7)
+    y = t.forward(x)
+    np.testing.assert_allclose(t.inverse(y), x, rtol=1e-5, atol=1e-5)
+    # log|J| vs autodiff
+    jac = jax.vmap(jax.grad(lambda v: t.forward(v)))(x)
+    np.testing.assert_allclose(
+        t.log_det_jacobian(x), jnp.log(jnp.abs(jac)), rtol=1e-5, atol=1e-5)
+
+
+def test_ordered_transform():
+    t = tfm.ORDERED
+    x = jnp.array([0.5, -1.0, 0.3, 2.0])
+    y = t.forward(x)
+    assert bool(jnp.all(jnp.diff(y) > 0))
+    np.testing.assert_allclose(t.inverse(y), x, rtol=1e-5, atol=1e-6)
+    # full Jacobian determinant vs autodiff
+    J = jax.jacfwd(t.forward)(x)
+    np.testing.assert_allclose(
+        float(jnp.sum(t.log_det_jacobian(x))),
+        float(jnp.linalg.slogdet(J)[1]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DSL tracing / log_density
+# ---------------------------------------------------------------------------
+
+def _coin_data():
+    # the reference's CoinToss.data.json observations
+    c1 = jnp.array([1, 0] * 10, dtype=jnp.float32)
+    c2 = jnp.array([1] * 15 + [0] * 5, dtype=jnp.float32)
+    return c1, c2
+
+
+def test_log_density_coin_toss_closed_form():
+    """log_density must equal the analytic Bernoulli+Uniform joint, and its
+    dict gradient must vanish at the MLE (the property the reference checks,
+    CoinTossExample.py:96-109)."""
+    c1, c2 = _coin_data()
+    params = {"p1": 0.5, "p2": 0.75}
+    logp, sites = models.log_density(
+        examples.coin_toss, (), {"c1": c1, "c2": c2}, params)
+    expected = (np.sum(sps.bernoulli(0.5).logpmf(np.asarray(c1)))
+                + np.sum(sps.bernoulli(0.75).logpmf(np.asarray(c2))))
+    np.testing.assert_allclose(float(logp), expected, rtol=1e-5)
+    assert set(sites) == {"p1", "p2", "obs1", "obs2"}
+
+    g = jax.grad(lambda p: models.log_density(
+        examples.coin_toss, (), {"c1": c1, "c2": c2}, p)[0])(
+        {"p1": 0.5, "p2": 0.75})
+    np.testing.assert_allclose(g["p1"], 0.0, atol=1e-4)
+    np.testing.assert_allclose(g["p2"], 0.0, atol=1e-4)
+
+
+def test_seed_handler_draws_priors():
+    sites = models.trace_model(
+        examples.eight_schools, (),
+        dict(examples.EIGHT_SCHOOLS_DATA), key=jax.random.key(3))
+    assert sites["theta"].value.shape == (8,)
+    assert float(sites["tau"].value) > 0.0
+    assert sites["obs"].is_observed
+
+
+def test_duplicate_site_raises():
+    def bad():
+        models.sample("a", dist.Normal())
+        models.sample("a", dist.Normal())
+    with pytest.raises(ValueError, match="duplicate"):
+        models.trace_model(bad, key=jax.random.key(0))
+
+
+def test_latent_without_handler_raises():
+    def m():
+        models.sample("a", dist.Normal())
+    with pytest.raises(RuntimeError, match="handler"):
+        m()
+
+
+# ---------------------------------------------------------------------------
+# ModelPotential: flatten/unflatten, jacobians, HMC end-to-end
+# ---------------------------------------------------------------------------
+
+def test_model_potential_roundtrip():
+    mp = models.make_model_potential(
+        examples.eight_schools, (), dict(examples.EIGHT_SCHOOLS_DATA))
+    assert mp.num_dims == 10  # mu, tau, theta[8]
+    params = {"mu": 1.0, "tau": 2.0,
+              "theta": jnp.arange(8, dtype=jnp.float32)}
+    q = mp.flatten(params)
+    back = mp.unflatten(q)
+    np.testing.assert_allclose(float(back["mu"]), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(back["tau"]), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(back["theta"], params["theta"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_model_potential_jacobian_correction():
+    """For a pure-prior model U(q) must be the pushforward density: with
+    x ~ HalfCauchy and x = e^q, -U(q) = log hc(e^q) + q."""
+    def m():
+        models.sample("x", dist.HalfCauchy(2.0))
+
+    mp = models.make_model_potential(m)
+    q = jnp.asarray([0.7])
+    expected = sps.halfcauchy(0, 2.0).logpdf(np.exp(0.7)) + 0.7
+    np.testing.assert_allclose(-float(mp.potential(q)), expected, rtol=1e-5)
+
+
+def test_discrete_latent_rejected():
+    def m():
+        models.sample("k", dist.Poisson(3.0))
+    with pytest.raises(ValueError, match="discrete"):
+        models.make_model_potential(m)
+
+
+def test_coin_toss_posterior_end_to_end():
+    """Full-stack parity run: ensemble HMC on the native coin_toss model
+    recovers the conjugate Beta posterior means (the reference's oracle:
+    CoinTossExample.py:59-65 checks the posterior mean against the true
+    bias)."""
+    c1, c2 = _coin_data()
+    mp = models.make_model_potential(
+        examples.coin_toss, (), {"c1": c1, "c2": c2})
+    key = jax.random.key(7)
+    res = pbbi.run_hmc(
+        key, mp.potential, mp.init(key, 512),
+        num_warmup=300, num_samples=300, num_steps=8, collect="samples")
+    cons = mp.constrain_samples(res.samples)
+    # conjugate posterior: Beta(1 + heads, 1 + tails)
+    p1 = float(jnp.mean(cons["p1"]))
+    p2 = float(jnp.mean(cons["p2"]))
+    exp1 = (1 + float(jnp.sum(c1))) / (2 + c1.shape[0])
+    exp2 = (1 + float(jnp.sum(c2))) / (2 + c2.shape[0])
+    assert abs(p1 - exp1) < 0.02, (p1, exp1)
+    assert abs(p2 - exp2) < 0.02, (p2, exp2)
+    assert float(res.accept_rate) > 0.5
+
+
+def test_eight_schools_noncentered_end_to_end():
+    """Posterior parity on the reference's hierarchical example: mu and tau
+    moments within MC error of long-NUTS published values (mu ~ 4.4,
+    tau ~ 3.6 for this dataset)."""
+    mp = models.make_model_potential(
+        examples.eight_schools_noncentered, (),
+        dict(examples.EIGHT_SCHOOLS_DATA))
+    assert mp.num_dims == 10
+    key = jax.random.key(11)
+    res = pbbi.run_hmc(
+        key, mp.potential, mp.init(key, 1024),
+        num_warmup=500, num_samples=500, num_steps=12, collect="samples")
+    cons = mp.constrain_samples(res.samples)
+    mu = float(jnp.mean(cons["mu"]))
+    tau = float(jnp.mean(cons["tau"]))
+    assert abs(mu - 4.4) < 1.0, mu
+    assert 2.5 < tau < 5.0, tau
+    assert float(res.accept_rate) > 0.6
+
+
+def test_logistic_regression_recovers_weights():
+    key = jax.random.key(0)
+    n, p = 400, 3
+    true_w = jnp.array([1.5, -2.0, 0.5])
+    x = jax.random.normal(key, (n, p))
+    logits = x @ true_w + 0.3
+    labels = jax.random.bernoulli(
+        jax.random.key(1), jax.nn.sigmoid(logits)).astype(jnp.float32)
+    mp = models.make_model_potential(
+        examples.logistic_regression, (), {"x": x, "labels": labels})
+    assert mp.num_dims == p + 1
+    res = pbbi.run_hmc(
+        jax.random.key(2), mp.potential, mp.init(jax.random.key(3), 512),
+        num_warmup=300, num_samples=200, num_steps=16, collect="samples")
+    cons = mp.constrain_samples(res.samples)
+    w_mean = jnp.mean(cons["w"], axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(w_mean), np.asarray(true_w),
+                               atol=0.5)
