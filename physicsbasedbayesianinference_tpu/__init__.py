@@ -7,7 +7,7 @@ sharding over device meshes, a native probabilistic-model DSL, symplectic
 integrators, adaptation, tempering/SMC, and N-body physics targets.
 """
 
-from . import adaptation, constants, ensemble, hmc, smc
+from . import adaptation, constants, ensemble, hmc, nuts, smc
 from .constants import NATURAL, SI, Constants, solar_system_units
 from .ensemble import (
     EnsembleState,
@@ -17,6 +17,7 @@ from .ensemble import (
     sample_positions,
 )
 from .hmc import HMCInfo, HMCKernel, HMCState, build_hmc_kernel, run_hmc
+from .nuts import NUTSInfo, NUTSKernel, build_nuts_kernel, run_nuts
 from .smc import SMCResult, run_smc
 
 __version__ = "0.1.0"
@@ -43,4 +44,9 @@ __all__ = [
     "smc",
     "SMCResult",
     "run_smc",
+    "nuts",
+    "NUTSInfo",
+    "NUTSKernel",
+    "build_nuts_kernel",
+    "run_nuts",
 ]

@@ -1,0 +1,93 @@
+"""NUTS tests: tree mechanics, posterior correctness, warmup pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicsbasedbayesianinference_tpu import nuts
+from physicsbasedbayesianinference_tpu.ops import potentials as pot
+
+
+def _step_stats(target, step_size, *, w=128, d=2, max_depth=8, seed=0):
+    k = nuts.build_nuts_kernel(target, max_depth=max_depth)
+    st = k.init(jax.random.normal(jax.random.key(seed), (w, d)))
+    st, info = jax.jit(k.step)(jax.random.key(seed + 1), st,
+                               jnp.float32(step_size))
+    return st, info
+
+
+def test_uturn_truncates_trajectory():
+    """On a standard normal the trajectory turns after ~pi/step_size
+    leapfrogs; depth must reflect that, not max_depth."""
+    _, info = _step_stats(pot.make_standard_normal(2), 0.3, max_depth=10)
+    mean_leap = float(jnp.mean(info.num_leapfrogs))
+    # half-period pi/0.3 ~ 10.5 steps; doubling overshoot can visit ~2x
+    assert 4 < mean_leap < 40, mean_leap
+    assert float(jnp.mean(info.turned.astype(jnp.float32))) > 0.9
+
+
+def test_depth_grows_with_smaller_steps():
+    _, info_big = _step_stats(pot.make_standard_normal(2), 0.5)
+    _, info_small = _step_stats(pot.make_standard_normal(2), 0.05)
+    assert (float(jnp.mean(info_small.depth))
+            > float(jnp.mean(info_big.depth)) + 1.0)
+
+
+def test_divergence_flagged_for_huge_step():
+    _, info = _step_stats(pot.make_banana(), 5.0, seed=3)
+    assert float(jnp.mean(info.divergent.astype(jnp.float32))) > 0.3
+
+
+def test_accept_prob_in_range():
+    _, info = _step_stats(pot.make_standard_normal(4), 0.25, d=4)
+    acc = np.asarray(info.accept_prob)
+    assert np.all(acc >= 0.0) and np.all(acc <= 1.0)
+    assert acc.mean() > 0.8
+
+
+def test_nuts_gaussian_posterior():
+    """Correlated Gaussian: NUTS must recover mean and covariance."""
+    mean = jnp.array([1.0, -2.0, 0.5])
+    cov = jnp.array([[1.0, 0.6, 0.2], [0.6, 2.0, 0.3], [0.2, 0.3, 0.5]])
+    target = pot.make_gaussian(mean, cov=cov)
+    res = nuts.run_nuts(
+        jax.random.key(0), target,
+        jax.random.normal(jax.random.key(1), (512, 3)),
+        num_warmup=200, num_samples=300, max_depth=8)
+    flat = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(0), np.asarray(mean), atol=0.05)
+    np.testing.assert_allclose(np.cov(flat.T), np.asarray(cov), atol=0.15)
+    assert float(res.accept_rate) > 0.7
+    assert float(res.divergence_rate) < 0.01
+
+
+def test_nuts_funnel_beats_short_hmc():
+    """Neal's funnel: NUTS adapts per-walker trajectory lengths and must
+    explore the v-axis widely (std ~ 3); this is the geometry the U-turn
+    criterion exists for."""
+    target = pot.make_funnel(num_dims=6)
+    res = nuts.run_nuts(
+        jax.random.key(2), target,
+        0.5 * jax.random.normal(jax.random.key(3), (256, 6)),
+        num_warmup=300, num_samples=400, max_depth=9)
+    v = np.asarray(res.samples)[..., 0].reshape(-1)
+    assert abs(v.mean()) < 0.6, v.mean()
+    assert v.std() > 2.0, v.std()
+
+
+def test_nuts_matches_hmc_on_gaussian():
+    """Cross-validation between the two samplers of this framework: same
+    target, posterior moments must agree within MC error."""
+    import physicsbasedbayesianinference_tpu as pbbi
+    target = pot.make_standard_normal(4)
+    q0 = jax.random.normal(jax.random.key(4), (512, 4))
+    r_nuts = nuts.run_nuts(jax.random.key(5), target, q0,
+                           num_warmup=150, num_samples=200)
+    r_hmc = pbbi.run_hmc(jax.random.key(6), target, q0,
+                         num_warmup=150, num_samples=200, num_steps=16)
+    m1 = np.asarray(r_nuts.samples).reshape(-1, 4).mean(0)
+    m2 = np.asarray(r_hmc.samples).reshape(-1, 4).mean(0)
+    np.testing.assert_allclose(m1, m2, atol=0.15)
+    np.testing.assert_allclose(m1, 0.0, atol=0.1)
+    v1 = np.asarray(r_nuts.samples).reshape(-1, 4).var(0)
+    np.testing.assert_allclose(v1, 1.0, atol=0.1)
