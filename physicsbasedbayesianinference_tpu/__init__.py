@@ -7,7 +7,7 @@ sharding over device meshes, a native probabilistic-model DSL, symplectic
 integrators, adaptation, tempering/SMC, and N-body physics targets.
 """
 
-from . import adaptation, constants, ensemble, hmc, nuts, smc
+from . import adaptation, checkpoint, config, constants, diagnostics, ensemble, hmc, nuts, smc
 from .constants import NATURAL, SI, Constants, solar_system_units
 from .ensemble import (
     EnsembleState,
@@ -49,4 +49,7 @@ __all__ = [
     "NUTSKernel",
     "build_nuts_kernel",
     "run_nuts",
+    "checkpoint",
+    "config",
+    "diagnostics",
 ]

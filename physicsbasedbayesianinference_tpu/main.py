@@ -1,0 +1,220 @@
+"""CLI driver: config -> model -> sampler -> metrics + saved samples.
+
+The entry point the reference never wrote (reference src/main.py is an
+empty file, SURVEY.md §2 #7). Usage:
+
+    python -m physicsbasedbayesianinference_tpu.main --config run.json
+    python -m physicsbasedbayesianinference_tpu.main \
+        --model example:eight_schools_noncentered --data schools.json \
+        --sampler nuts --num-walkers 4096
+
+Model references:
+  builtin:<name>      analytic target from ops.potentials.builtin_potentials
+  example:<name>      native-DSL model from models.examples (+ --data JSON,
+                      the reference's data-file convention,
+                      samples/NumpyroExamples/*/*.data.json)
+  numpyro:<mod>:<fn>  a NumPyro model (requires numpyro installed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import diagnostics
+from .config import RunConfig
+from .constants import NATURAL, SI, Constants
+
+
+def _load_data(path: Optional[str]) -> dict:
+    if path is None:
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    out = {}
+    for k, v in raw.items():
+        if isinstance(v, list):
+            out[k] = jnp.asarray(np.asarray(v, dtype=np.float32))
+        else:
+            out[k] = v
+    return out
+
+
+def build_potential(cfg: RunConfig):
+    """Resolve the config's model reference to (potential_fn, init_fn,
+    constrain_fn or None)."""
+    kind, _, name = cfg.model.partition(":")
+    if kind == "builtin":
+        from .ops.potentials import builtin_potentials
+        registry = builtin_potentials()
+        if name not in registry:
+            raise ValueError(
+                f"unknown builtin {name!r}; have {sorted(registry)}")
+        fn = registry[name]()
+        num_dims = {"std_normal_2d": 2, "std_normal_32d": 32, "banana": 2,
+                    "funnel_10d": 10}.get(name, 2)
+
+        def init(key, w):
+            return jax.random.normal(key, (w, num_dims))
+        return fn, init, None
+    if kind == "example":
+        from .models import make_model_potential
+        from .models.examples import EXAMPLE_MODELS
+        if name not in EXAMPLE_MODELS:
+            raise ValueError(
+                f"unknown example {name!r}; have {sorted(EXAMPLE_MODELS)}")
+        data = _load_data(cfg.data_path)
+        # integer-valued metadata (e.g. eight_schools J) stays python
+        mp = make_model_potential(EXAMPLE_MODELS[name], (), data)
+        return mp.potential, mp.init, mp.constrain_samples
+    if kind == "numpyro":
+        from .models.numpyro_adapter import from_numpyro
+        mod_name, _, fn_name = name.partition(":")
+        import importlib
+        model = getattr(importlib.import_module(mod_name), fn_name)
+        data = _load_data(cfg.data_path)
+        mp = from_numpyro(model, (), data)
+        return mp.potential, mp.init, mp.unflatten
+    raise ValueError(f"bad model reference {cfg.model!r} "
+                     f"(want builtin:/example:/numpyro:)")
+
+
+def run(cfg: RunConfig) -> dict:
+    """Execute the configured run; returns the result summary dict."""
+    constants = {"natural": NATURAL, "si": SI}[cfg.constants]
+    potential_fn, init_fn, constrain = build_potential(cfg)
+    key = jax.random.key(cfg.seed)
+    key, k_init, k_run = jax.random.split(key, 3)
+    init_q = init_fn(k_init, cfg.num_walkers)
+
+    if cfg.sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import WALKER_AXIS, make_walker_mesh
+        mesh = make_walker_mesh()
+        init_q = jax.device_put(
+            init_q, NamedSharding(mesh, P(WALKER_AXIS, None)))
+
+    print(f"# model={cfg.model} sampler={cfg.sampler} "
+          f"walkers={cfg.num_walkers} dims={init_q.shape[-1]} "
+          f"devices={len(jax.devices())}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    summary: dict = {"config": dataclasses.asdict(cfg)}
+    samples = None
+
+    if cfg.sampler == "hmc":
+        from .hmc import run_hmc
+        res = run_hmc(
+            k_run, potential_fn, init_q,
+            num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
+            num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
+            target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
+            temperature=cfg.temperature, constants=constants,
+            collect=cfg.collect, thin=cfg.thin)
+        samples = res.samples
+        summary.update(
+            accept_rate=float(res.accept_rate),
+            divergence_rate=float(res.divergence_rate),
+            step_size=float(res.step_size),
+            num_grad_evals=res.num_grad_evals)
+        if res.mean is not None:
+            summary["posterior_mean"] = np.asarray(res.mean).tolist()
+            summary["posterior_var"] = np.asarray(res.var).tolist()
+    elif cfg.sampler == "nuts":
+        from .nuts import run_nuts
+        res = run_nuts(
+            k_run, potential_fn, init_q,
+            num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
+            max_depth=cfg.max_depth, init_step_size=cfg.init_step_size,
+            target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
+            temperature=cfg.temperature, constants=constants,
+            collect=cfg.collect)
+        samples = res.samples
+        summary.update(
+            accept_rate=float(res.accept_rate),
+            divergence_rate=float(res.divergence_rate),
+            mean_tree_depth=float(res.mean_depth),
+            step_size=float(res.step_size))
+    elif cfg.sampler == "smc":
+        from .smc import run_smc
+        res = run_smc(
+            k_run, potential_fn, init_q,
+            num_mutation_steps=3, num_leapfrog_steps=cfg.num_steps,
+            init_step_size=cfg.init_step_size, beta0=cfg.smc_beta0,
+            max_stages=cfg.smc_max_stages, temperature=cfg.temperature,
+            constants=constants)
+        samples = res.q[None]
+        summary.update(
+            log_evidence=float(res.log_evidence),
+            num_stages=int(res.num_stages),
+            final_step_size=float(res.final_step_size))
+    else:
+        raise ValueError(f"unknown sampler {cfg.sampler!r}")
+
+    summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
+
+    if samples is not None:
+        s = jnp.asarray(samples)
+        diag = diagnostics.summary(s)
+        summary["posterior_mean"] = np.asarray(diag["mean"]).tolist()
+        summary["posterior_sd"] = np.asarray(diag["sd"]).tolist()
+        summary["min_ess"] = float(jnp.min(diag["ess"]))
+        summary["max_rhat"] = float(jnp.max(diag["rhat"]))
+        if constrain is not None:
+            cons = constrain(s)
+            summary["constrained_means"] = {
+                k: np.asarray(jnp.mean(v, axis=(0, 1))).tolist()
+                for k, v in cons.items()}
+
+    if cfg.output_path:
+        arrays = {"summary": json.dumps(summary)}
+        if samples is not None:
+            arrays["samples"] = np.asarray(samples)
+        np.savez_compressed(cfg.output_path, **arrays)
+        print(f"# wrote {cfg.output_path}", file=sys.stderr)
+    return summary
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="physicsbasedbayesianinference_tpu",
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--config", help="JSON RunConfig file")
+    for f in dataclasses.fields(RunConfig):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"),
+                           default=None)
+        elif f.name in ("data_path", "checkpoint_dir", "output_path"):
+            p.add_argument(flag, type=str, default=None)
+        elif isinstance(f.default, int):
+            p.add_argument(flag, type=int, default=None)
+        elif isinstance(f.default, float):
+            p.add_argument(flag, type=float, default=None)
+        else:
+            p.add_argument(flag, type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    cfg = RunConfig.from_file(args.config) if args.config else RunConfig()
+    for f in dataclasses.fields(RunConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    summary = run(cfg)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

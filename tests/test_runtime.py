@@ -1,0 +1,161 @@
+"""Runtime-layer tests: diagnostics, checkpoint/resume, config, CLI driver."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import physicsbasedbayesianinference_tpu as pbbi
+from physicsbasedbayesianinference_tpu import diagnostics as diag
+from physicsbasedbayesianinference_tpu.checkpoint import CheckpointManager
+from physicsbasedbayesianinference_tpu.config import RunConfig
+from physicsbasedbayesianinference_tpu.main import build_potential, run
+from physicsbasedbayesianinference_tpu.ops import potentials as pot
+
+
+# ---------------------------------------------------------------------------
+# diagnostics
+# ---------------------------------------------------------------------------
+
+def test_ess_iid_equals_sample_count():
+    x = jax.random.normal(jax.random.key(0), (200, 32, 2))
+    ess = diag.effective_sample_size(x)
+    np.testing.assert_allclose(np.asarray(ess), 200 * 32, rtol=0.15)
+
+
+def test_ess_detects_autocorrelation():
+    """AR(1) with rho=0.9 has ESS fraction ~ (1-rho)/(1+rho) ~ 1/19."""
+    key = jax.random.key(1)
+    t, w = 1000, 16
+    eps = jax.random.normal(key, (t, w, 1))
+
+    def step(x, e):
+        x = 0.9 * x + e
+        return x, x
+    _, series = jax.lax.scan(step, jnp.zeros((w, 1)), eps)
+    ess = float(diag.effective_sample_size(series)[0])
+    frac = ess / (t * w)
+    assert 0.02 < frac < 0.12, frac
+
+
+def test_rhat_flags_unmixed_walkers():
+    key = jax.random.key(2)
+    good = jax.random.normal(key, (100, 8, 1))
+    assert float(diag.split_rhat(good)[0]) < 1.05
+    offset = jnp.arange(8.0)[None, :, None] * 5.0
+    bad = good + offset
+    assert float(diag.split_rhat(bad)[0]) > 1.5
+
+
+def test_summary_keys():
+    x = jax.random.normal(jax.random.key(3), (50, 8, 3))
+    s = diag.summary(x)
+    assert set(s) == {"mean", "sd", "quantiles", "ess", "rhat"}
+    assert s["quantiles"].shape == (3, 3)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    kernel = pbbi.build_hmc_kernel(pot.make_standard_normal(3), num_steps=4)
+    state = kernel.init(jax.random.normal(jax.random.key(1), (32, 3)))
+    payload = {"sampler": state, "step_size": jnp.float32(0.3),
+               "key": jax.random.key(42), "iteration": jnp.int32(7)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, payload)
+    template = {"sampler": kernel.init(jnp.zeros((32, 3))),
+                "step_size": jnp.float32(0.0),
+                "key": jax.random.key(0), "iteration": jnp.int32(0)}
+    restored = mgr.restore(template)
+    assert int(restored["iteration"]) == 7
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored["key"])),
+        np.asarray(jax.random.key_data(payload["key"])))
+    np.testing.assert_allclose(np.asarray(restored["sampler"].ensemble.q),
+                               np.asarray(state.ensemble.q))
+    assert mgr.latest_step() == 7
+    mgr.close()
+
+
+def test_checkpoint_resume_continues_sampling(tmp_path):
+    """Save mid-run, restore, continue: resumed chain must equal the
+    uninterrupted chain (same keys -> identical trajectories)."""
+    kernel = pbbi.build_hmc_kernel(pot.make_standard_normal(2), num_steps=8)
+    state = kernel.init(jax.random.normal(jax.random.key(0), (64, 2)))
+    keys = jax.random.split(jax.random.key(1), 10)
+    step = jax.jit(kernel.step)
+    s = state
+    for k in keys[:5]:
+        s, _ = step(k, s, jnp.float32(0.5))
+    mgr = CheckpointManager(str(tmp_path / "c2"))
+    mgr.save(5, s)
+    s_restored = mgr.restore(kernel.init(jnp.zeros((64, 2))))
+    mgr.close()
+    a, b = s, s_restored
+    for k in keys[5:]:
+        a, _ = step(k, a, jnp.float32(0.5))
+        b, _ = step(k, b, jnp.float32(0.5))
+    np.testing.assert_allclose(np.asarray(a.ensemble.q),
+                               np.asarray(b.ensemble.q))
+
+
+# ---------------------------------------------------------------------------
+# config + CLI
+# ---------------------------------------------------------------------------
+
+def test_config_json_roundtrip():
+    cfg = RunConfig(model="builtin:banana", sampler="nuts", num_walkers=64)
+    cfg2 = RunConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_config_unknown_key_rejected():
+    with pytest.raises(ValueError, match="unknown config keys"):
+        RunConfig.from_json('{"walkers": 3}')
+
+
+def test_build_potential_builtin():
+    fn, init, constrain = build_potential(RunConfig(model="builtin:banana"))
+    q = init(jax.random.key(0), 8)
+    assert q.shape == (8, 2)
+    assert jnp.isfinite(fn(q[0]))
+    assert constrain is None
+
+
+def test_build_potential_bad_ref():
+    with pytest.raises(ValueError, match="builtin"):
+        build_potential(RunConfig(model="builtin:nope"))
+    with pytest.raises(ValueError, match="bad model reference"):
+        build_potential(RunConfig(model="nonsense"))
+
+
+def test_cli_run_hmc_gaussian(tmp_path):
+    out = str(tmp_path / "run.npz")
+    cfg = RunConfig(model="builtin:std_normal_2d", sampler="hmc",
+                    num_walkers=256, num_warmup=100, num_samples=100,
+                    num_steps=8, output_path=out)
+    summary = run(cfg)
+    assert summary["accept_rate"] > 0.6
+    np.testing.assert_allclose(summary["posterior_mean"], 0.0, atol=0.1)
+    assert summary["max_rhat"] < 1.1
+    data = np.load(out, allow_pickle=False)
+    assert data["samples"].shape == (100, 256, 2)
+    assert json.loads(str(data["summary"]))["accept_rate"] > 0.6
+
+
+def test_cli_run_example_coin_toss(tmp_path):
+    data_path = str(tmp_path / "coins.json")
+    with open(data_path, "w") as f:
+        json.dump({"c1": [1, 0] * 10, "c2": [1] * 15 + [0] * 5}, f)
+    cfg = RunConfig(model="example:coin_toss", data_path=data_path,
+                    sampler="hmc", num_walkers=256, num_warmup=150,
+                    num_samples=150, num_steps=8)
+    summary = run(cfg)
+    means = summary["constrained_means"]
+    assert abs(means["p1"] - 0.5) < 0.05
+    assert abs(means["p2"] - 16 / 22) < 0.06
