@@ -216,3 +216,10 @@ def get_integrator(name: str):
         raise ValueError(
             f"Invalid integration method {name!r}; "
             f"available: {sorted(INTEGRATORS)}") from None
+
+
+# Pallas fused-trajectory integrator (whole trajectory in VMEM per walker
+# block; ops/pallas_kernels.py). Falls back to interpret mode off-TPU.
+from .pallas_kernels import pallas_leapfrog  # noqa: E402
+
+INTEGRATORS["pallas_leapfrog"] = pallas_leapfrog
