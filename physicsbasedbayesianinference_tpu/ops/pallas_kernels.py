@@ -77,19 +77,41 @@ def make_pallas_leapfrog(block_walkers: int = 256):
             jnp.asarray(inv_mass, q.dtype), (1, d))
         dt_arr = jnp.reshape(jnp.asarray(step_size, q.dtype), (1, 1))
 
-        def kernel(dt_ref, q_ref, p_ref, im_ref,
-                   q_out, p_out, u_out, g_out):
+        # Potentials may close over array data (spring constants, Gaussian
+        # precision, body masses...). Pallas kernels cannot capture such
+        # constants, so trace vg_fn to a jaxpr, hoist its consts into
+        # explicit inputs (flattened to [1, size] so VMEM sees 2D blocks),
+        # and re-evaluate the jaxpr inside the kernel.
+        example = jax.ShapeDtypeStruct((bw, d), q.dtype)
+        closed = jax.make_jaxpr(lambda qq: vg_fn(qq))(example)
+        consts = [jnp.asarray(c) for c in closed.consts]
+        const_shapes = [c.shape for c in consts]
+        const_inputs = [jnp.reshape(c, (1, -1)) for c in consts]
+
+        def converted(qq, *cvals):
+            u, g = jax.core.eval_jaxpr(closed.jaxpr, cvals, qq)
+            return u, g
+
+        def kernel(dt_ref, q_ref, p_ref, im_ref, *rest):
+            const_refs = rest[:len(consts)]
+            q_out, p_out, u_out, g_out = rest[len(consts):]
+            cvals = [ref[:].reshape(shape)
+                     for ref, shape in zip(const_refs, const_shapes)]
+
+            def vg(qq):
+                return converted(qq, *cvals)
+
             dt = dt_ref[0, 0]
             im = im_ref[:]  # [1, D]
             q = q_ref[:]
             p = p_ref[:]
-            u, g = vg_fn(q)
+            u, g = vg(q)
 
             def body(_, carry):
                 q, p, u, g = carry
                 p = p - (0.5 * dt) * g          # kick
                 q = q + dt * p * im             # drift
-                u, g = vg_fn(q)
+                u, g = vg(q)
                 p = p - (0.5 * dt) * g          # kick
                 return (q, p, u, g)
 
@@ -112,6 +134,10 @@ def make_pallas_leapfrog(block_walkers: int = 256):
                 pl.BlockSpec((bw, d), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, d), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec((1, ci.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for ci in const_inputs
             ],
             out_specs=[
                 pl.BlockSpec((bw, d), block, memory_space=pltpu.VMEM),
@@ -126,7 +152,7 @@ def make_pallas_leapfrog(block_walkers: int = 256):
                 jax.ShapeDtypeStruct((w, d), q.dtype),
             ],
             interpret=_use_interpret(),
-        )(dt_arr, q, p, inv_mass_arr)
+        )(dt_arr, q, p, inv_mass_arr, *const_inputs)
         q_new, p_new, u_new, g_new = out
         return q_new, p_new, u_new[:, 0], g_new
 
