@@ -37,7 +37,7 @@ class RunConfig:
     temperature: float = 1.0        # physical T (k_B from constants)
     constants: str = "natural"      # natural | si
     seed: int = 0
-    collect: str = "samples"        # samples | moments | none
+    collect: str = "samples"        # samples | moments | none | stream
     thin: int = 1
 
     # smc extras

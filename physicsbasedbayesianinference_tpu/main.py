@@ -110,6 +110,18 @@ def run(cfg: RunConfig) -> dict:
     summary: dict = {"config": dataclasses.asdict(cfg)}
     samples = None
 
+    if cfg.collect == "stream":
+        # Stream thinned sample chunks to the native binary sink
+        # (native.SampleSink) instead of holding [S, W, D] in RAM — the
+        # mode that makes 1e5-walker histories possible (the reference's
+        # all-in-RAM buffer, HMC.py:136-145, cannot).
+        if not cfg.output_path:
+            raise ValueError("collect='stream' requires output_path")
+        summary.update(_stream_run(
+            cfg, potential_fn, init_q, k_run, constants))
+        summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
+        return summary
+
     if cfg.sampler == "hmc":
         from .hmc import run_hmc
         res = run_hmc(
@@ -181,6 +193,51 @@ def run(cfg: RunConfig) -> dict:
         np.savez_compressed(cfg.output_path, **arrays)
         print(f"# wrote {cfg.output_path}", file=sys.stderr)
     return summary
+
+
+def _stream_run(cfg: RunConfig, potential_fn, init_q, key, constants) -> dict:
+    """Warmup-adapt, then sample in thinned chunks appended to a
+    native SampleSink (one device->host transfer per recorded draw)."""
+    from .hmc import build_hmc_kernel, run_hmc
+    from .native import SampleSink, read_samples
+
+    key, k_warm = jax.random.split(key)
+    warm = run_hmc(
+        k_warm, potential_fn, init_q,
+        num_warmup=cfg.num_warmup, num_samples=0, num_steps=cfg.num_steps,
+        init_step_size=cfg.init_step_size, target_accept=cfg.target_accept,
+        adapt_mass=cfg.adapt_mass, temperature=cfg.temperature,
+        constants=constants, collect="none")
+    kernel = build_hmc_kernel(
+        potential_fn, num_steps=cfg.num_steps,
+        temperature=cfg.temperature, constants=constants)
+    state, step_size = warm.state, warm.step_size
+    thin = max(cfg.thin, 1)
+
+    @jax.jit
+    def chunk(state, keys):
+        def body(st, k):
+            st, info = kernel.step(k, st, step_size)
+            return st, jnp.mean(info.accept_prob)
+        state, acc = jax.lax.scan(body, state, keys)
+        return state, state.ensemble.q, jnp.mean(acc)
+
+    w, d = init_q.shape
+    accs = []
+    with SampleSink(cfg.output_path, w, d) as sink:
+        for i in range(cfg.num_samples):
+            key, k_chunk = jax.random.split(key)
+            state, q, acc = chunk(state, jax.random.split(k_chunk, thin))
+            sink.append(np.asarray(q))
+            accs.append(float(acc))
+    data = read_samples(cfg.output_path)
+    return {
+        "accept_rate": float(np.mean(accs)),
+        "step_size": float(step_size),
+        "streamed_rows": int(data.shape[0]),
+        "posterior_mean": np.asarray(data).mean(0).tolist(),
+        "posterior_sd": np.asarray(data).std(0).tolist(),
+    }
 
 
 def _build_parser() -> argparse.ArgumentParser:

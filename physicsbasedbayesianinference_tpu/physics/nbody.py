@@ -184,21 +184,12 @@ def load_nbody_text(source: Union[str, io.TextIOBase], *,
     else:
         with open(source) as f:
             text = f.read()
-    tokens = text.split()
-    if len(tokens) < 3:
-        raise ValueError("truncated N-body input: missing header")
-    n = int(tokens[0])
-    tmax = float(tokens[1])
-    dt = float(tokens[2])
-    need = 3 + n + 6 * n
-    if len(tokens) < need:
-        raise ValueError(
-            f"truncated N-body input: N={n} needs {need} tokens, "
-            f"got {len(tokens)}")
-    vals = [float(t) for t in tokens[3:need]]
-    mass = jnp.asarray(vals[:n], dtype=dtype)
-    x = jnp.asarray(vals[n:n + 3 * n], dtype=dtype).reshape(n, 3)
-    v = jnp.asarray(vals[n + 3 * n:], dtype=dtype).reshape(n, 3)
+    # native tokenizer (csrc/pbbi_io.cpp) with numpy fallback
+    from ..native import parse_nbody_text
+    mass_np, x_np, v_np, tmax, dt = parse_nbody_text(text)
+    mass = jnp.asarray(mass_np, dtype=dtype)
+    x = jnp.asarray(x_np, dtype=dtype)
+    v = jnp.asarray(v_np, dtype=dtype)
     return new_system(x, v, mass), tmax, dt
 
 
