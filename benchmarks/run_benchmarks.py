@@ -1,0 +1,207 @@
+"""Benchmark suite: the five BASELINE.json reference configs on this engine.
+
+Each config prints one JSON line {name, wall_s, metrics...}. The headline
+chip metric lives in /root/repo/bench.py; this suite records the broader
+capability matrix (accuracy + throughput per config) for BASELINE.md.
+
+Run: python benchmarks/run_benchmarks.py [--cpu] [--only NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def bench(name):
+    def deco(fn):
+        BENCHES[name] = fn
+        return fn
+    return deco
+
+
+BENCHES = {}
+
+
+@bench("single_chain_gaussian")
+def single_chain_gaussian(jax, jnp, np):
+    """BASELINE config 1: single-chain HMC, 2D correlated Gaussian."""
+    import physicsbasedbayesianinference_tpu as pbbi
+    from physicsbasedbayesianinference_tpu.ops import potentials as pot
+    mean = jnp.array([2.0, -1.0])
+    cov = jnp.array([[1.0, 0.8], [0.8, 2.0]])
+    res = pbbi.run_hmc(
+        jax.random.key(0), pot.make_gaussian(mean, cov=cov),
+        jnp.zeros((1, 2)), num_warmup=300, num_samples=1000, num_steps=16,
+        collect="samples")
+    flat = np.asarray(res.samples)[:, 0, :]
+    return {
+        "mean_abs_err": float(np.abs(flat.mean(0) - np.asarray(mean)).max()),
+        "accept_rate": float(res.accept_rate),
+        "transitions": 1300,
+    }
+
+
+@bench("ensemble_1k")
+def ensemble_1k(jax, jnp, np):
+    """BASELINE config 2: 1e3 walkers, std-normal + banana, diag mass."""
+    import physicsbasedbayesianinference_tpu as pbbi
+    from physicsbasedbayesianinference_tpu.ops import potentials as pot
+    out = {}
+    for name, target, tol in (
+            ("std_normal", pot.make_standard_normal(32), 0.05),
+            ("banana", pot.make_banana(), 0.3)):
+        d = 32 if name == "std_normal" else 2
+        res = pbbi.run_hmc(
+            jax.random.key(1), target,
+            jax.random.normal(jax.random.key(2), (1024, d)),
+            num_warmup=300, num_samples=300, num_steps=16,
+            collect="moments")
+        out[f"{name}_accept"] = float(res.accept_rate)
+        out[f"{name}_grad_evals"] = res.num_grad_evals
+        if name == "std_normal":
+            out["std_normal_var_err"] = float(
+                jnp.max(jnp.abs(res.var - 1.0)))
+    return out
+
+
+@bench("model_interop")
+def model_interop(jax, jnp, np):
+    """BASELINE config 3: eight-schools + logistic regression via the
+    model DSL (the NumPyro-contract layer)."""
+    import physicsbasedbayesianinference_tpu as pbbi
+    from physicsbasedbayesianinference_tpu import models
+    from physicsbasedbayesianinference_tpu.models import examples
+    mp = models.make_model_potential(
+        examples.eight_schools_noncentered, (),
+        dict(examples.EIGHT_SCHOOLS_DATA))
+    res = pbbi.run_nuts(
+        jax.random.key(3), mp.potential, mp.init(jax.random.key(4), 1024),
+        num_warmup=400, num_samples=400, max_depth=8)
+    cons = mp.constrain_samples(res.samples)
+    mu = float(jnp.mean(cons["mu"]))
+    tau = float(jnp.mean(cons["tau"]))
+
+    n, p = 1024, 8
+    x = jax.random.normal(jax.random.key(5), (n, p))
+    w_true = jax.random.normal(jax.random.key(6), (p,))
+    labels = jax.random.bernoulli(
+        jax.random.key(7), jax.nn.sigmoid(x @ w_true)).astype(jnp.float32)
+    mp2 = models.make_model_potential(
+        examples.logistic_regression, (), {"x": x, "labels": labels})
+    res2 = pbbi.run_hmc(
+        jax.random.key(8), mp2.potential,
+        mp2.init(jax.random.key(9), 1024),
+        num_warmup=300, num_samples=200, num_steps=16)
+    w_post = jnp.mean(mp2.constrain_samples(res2.samples)["w"], axis=(0, 1))
+    return {
+        "eight_schools_mu": mu, "eight_schools_tau": tau,
+        "mu_err_vs_published": abs(mu - 4.4),
+        "logreg_w_rmse": float(
+            jnp.sqrt(jnp.mean((w_post - w_true) ** 2))),
+        "logreg_accept": float(res2.accept_rate),
+    }
+
+
+@bench("nbody_tempering")
+def nbody_tempering(jax, jnp, np):
+    """BASELINE config 4: N-body potential ensemble with SMC tempering."""
+    from physicsbasedbayesianinference_tpu import smc
+    from physicsbasedbayesianinference_tpu.ops import potentials as pot
+    n_bodies = 8
+    mass = jnp.ones((n_bodies,))
+    target = pot.make_nbody_potential(mass, n_bodies, 3, softening=0.3)
+    init_q = 2.0 * jax.random.normal(
+        jax.random.key(10), (2048, n_bodies * 3))
+    res = smc.run_smc(
+        jax.random.key(11), target, init_q,
+        num_mutation_steps=3, num_leapfrog_steps=8, init_step_size=0.3,
+        beta0=0.05, max_stages=30)
+    return {
+        "num_stages": int(res.num_stages),
+        "log_evidence": float(res.log_evidence),
+        "mean_stage_accept": float(jnp.mean(
+            res.accept_history[:res.num_stages])),
+    }
+
+
+@bench("sharded_100k")
+def sharded_100k(jax, jnp, np):
+    """BASELINE config 5: 1e5-walker sharded ensemble, GSPMD path (walker
+    sharding on the inputs; XLA partitions the whole scan — on 1 chip this
+    is the single-shard datapoint of the scaling curve)."""
+    import physicsbasedbayesianinference_tpu as pbbi
+    from physicsbasedbayesianinference_tpu.ops import potentials as pot
+    from physicsbasedbayesianinference_tpu.parallel import mesh as meshmod
+    w, d, steps, iters = 102_400, 32, 16, 64
+    target = pot.make_standard_normal(d)
+    kernel = pbbi.build_hmc_kernel(target, num_steps=steps,
+                                   integrator="pallas_leapfrog"
+                                   if jax.default_backend() == "tpu"
+                                   else "leapfrog")
+    mesh = meshmod.make_walker_mesh()
+    q0 = jax.device_put(
+        jax.random.normal(jax.random.key(12), (w, d), dtype=jnp.float32),
+        meshmod.walker_sharding(mesh, 2))
+    state = kernel.init(q0)
+
+    @jax.jit
+    def run(state, keys):
+        def body(st, k):
+            st, info = kernel.step(k, st, jnp.float32(0.64))
+            return st, jnp.mean(info.accept_prob)
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.key(13), iters)
+    st, acc = run(state, keys)
+    float(jnp.mean(acc))
+    t0 = time.time()
+    st, acc = run(st, keys)
+    a = float(jnp.mean(acc))
+    dt = time.time() - t0
+    return {
+        "devices": len(jax.devices()),
+        "accept_rate": a,
+        "walker_transitions_per_sec": round(iters * w / dt),
+        "per_device_transitions_per_sec": round(
+            iters * w / dt / len(jax.devices())),
+        # On the axon tunnel backend, ANY partitioned executable (even a
+        # trivial 1-device NamedSharding of the identical program) runs
+        # ~20x slower than its unpartitioned twin (bench.py measures the
+        # same config unpartitioned). Backend artifact, not a property of
+        # the sharding design; CPU-mesh tests validate multi-device
+        # correctness, bench.py records the true per-chip ceiling.
+        "note": "axon backend: partitioned executables carry ~20x overhead",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    for name, fn in BENCHES.items():
+        if args.only and name != args.only:
+            continue
+        t0 = time.time()
+        try:
+            metrics = fn(jax, jnp, np)
+            metrics["wall_s"] = round(time.time() - t0, 2)
+            print(json.dumps({"bench": name, **metrics}))
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"bench": name, "error": repr(e)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,8 +8,13 @@ manuals/SetUp.md:82-200; SURVEY.md §2 parallelism audit):
   around a built HMC kernel: each device owns a walker block, draws its own
   per-shard RNG stream (key folded with the mesh axis index), and ensemble
   scalars (mean acceptance/divergence/energy) reduce with ``pmean`` over
-  ICI. This is the multi-host production path: communication is explicit
-  and provably just a few scalar collectives per transition.
+  ICI. Communication is explicit and provably just a few scalar
+  collectives per transition. NOTE: on the experimental single-chip
+  tunnel backend of this dev environment, any shard_map-partitioned
+  executable runs ~7x slower than the identical GSPMD program (measured,
+  independent of kernel choice or where the shard_map boundary sits) —
+  prefer the GSPMD path below for throughput there; on standard pod
+  runtimes shard_map is the explicit-control option.
 
 * :func:`sharded_run_hmc` — the zero-ceremony path: place the initial
   positions with a walker sharding and call the ordinary
@@ -81,12 +86,19 @@ def build_sharded_hmc_step(kernel: HMCKernel, mesh: Mesh,
         mesh=mesh,
         in_specs=(P(), state_specs, P()),
         out_specs=(state_specs, info_specs, P()),
+        # pallas_call's out_shape structs carry no varying-mesh-axes
+        # annotation, so the vma checker cannot see through the fused
+        # trajectory kernel; the specs above are the full contract.
+        check_vma=False,
     )
 
     @jax.jit
     def step(key, state, step_size):
         return sharded(key, state, jnp.asarray(step_size))
 
+    # the un-jitted shard_map callable, for composing into larger jitted
+    # programs (e.g. a lax.scan over transitions)
+    step.inner = sharded  # type: ignore[attr-defined]
     return step
 
 
