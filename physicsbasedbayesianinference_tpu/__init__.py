@@ -7,7 +7,23 @@ sharding over device meshes, a native probabilistic-model DSL, symplectic
 integrators, adaptation, tempering/SMC, and N-body physics targets.
 """
 
-from . import adaptation, checkpoint, config, constants, diagnostics, ensemble, hmc, nuts, smc
+from . import (
+    adaptation,
+    checkpoint,
+    config,
+    constants,
+    diagnostics,
+    ensemble,
+    hmc,
+    models,
+    native,
+    nuts,
+    ops,
+    parallel,
+    physics,
+    smc,
+    utils,
+)
 from .constants import NATURAL, SI, Constants, solar_system_units
 from .ensemble import (
     EnsembleState,
@@ -52,4 +68,10 @@ __all__ = [
     "checkpoint",
     "config",
     "diagnostics",
+    "models",
+    "native",
+    "ops",
+    "parallel",
+    "physics",
+    "utils",
 ]
