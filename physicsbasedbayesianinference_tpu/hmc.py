@@ -345,3 +345,93 @@ def run_hmc(
         mass=mass_arr,
         num_grad_evals=total_grads,
     )
+
+
+def build_fused_hmc_kernel(
+    potential_fn: Callable[[Array], Array],
+    *,
+    num_steps: int,
+    temperature: Union[float, Array] = 1.0,
+    constants: Constants = NATURAL,
+    divergence_threshold: float = 1000.0,
+    block_walkers: int = 256,
+) -> HMCKernel:
+    """Single-kernel HMC: the ENTIRE transition (thermal momentum refresh
+    with in-kernel PRNG, trajectory, Metropolis select) as one Pallas call
+    per walker block (ops/pallas_kernels.make_fused_hmc_transition) —
+    zero intermediate HBM traffic. Same interface and statistics as
+    :func:`build_hmc_kernel`; RNG streams come from the TPU hardware
+    generator (seeded from the step key) rather than jax.random, so draws
+    differ from the unfused kernel but target the same distribution.
+
+    Restrictions: diagonal mass broadcastable to [num_dims] (the warmup's
+    per-dim metric qualifies); potential must be jax-traceable (all
+    builtins and model potentials are).
+    """
+    from .ops.pallas_kernels import (
+        _use_interpret,
+        make_fused_hmc_diag_quadratic,
+        make_fused_hmc_transition,
+    )
+
+    base = build_hmc_kernel(
+        potential_fn, num_steps=num_steps, temperature=temperature,
+        constants=constants, divergence_threshold=divergence_threshold)
+    if _use_interpret():
+        # the TPU hardware PRNG has no interpret-mode lowering; off-TPU the
+        # composed kernel (same statistics, jax.random streams) stands in
+        return base
+    vg = batched_value_and_grad(potential_fn)
+    beta = constants.beta(temperature)
+    diag = getattr(potential_fn, "diag_quadratic", None)
+    generic = make_fused_hmc_transition(
+        vg, num_steps=num_steps, block_walkers=block_walkers,
+        divergence_threshold=divergence_threshold)
+    packed = make_fused_hmc_diag_quadratic(
+        num_steps=num_steps,
+        divergence_threshold=divergence_threshold) if diag is not None         else None
+
+    def step(key: Array, state: HMCState, step_size: Array,
+             mass: Optional[Array] = None) -> tuple[HMCState, HMCInfo]:
+        ens = state.ensemble
+        if mass is None:
+            mass = ens.mass
+        num_dims = ens.num_dims
+        p_std = thermal_momentum_std(mass, temperature, constants)
+        seed = jax.random.randint(
+            key, (), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32)
+        mass_arr = jnp.asarray(mass)
+        use_packed = (
+            packed is not None
+            and 128 % num_dims == 0
+            and ens.num_walkers % (128 // num_dims) == 0
+            and mass_arr.ndim <= 1)  # scalar or per-dim diagonal metric
+        if use_packed:
+            k_diag, mean = diag
+            q1, u1, accept_prob, accepted, energy_error = packed(
+                seed, ens.q, step_size=step_size, p_std=p_std,
+                inv_mass=1.0 / mass, beta=beta, k_diag=k_diag, mean=mean)
+            # diagonal-quadratic gradient is one cheap elementwise pass
+            g1 = jnp.asarray(k_diag, q1.dtype) * (q1 - mean)
+        else:
+            q1, u1, g1, accept_prob, accepted, energy_error = generic(
+                seed, ens.q, state.potential_energy, state.grad,
+                step_size=step_size, p_std=p_std, inv_mass=1.0 / mass,
+                beta=beta)
+        new_state = HMCState(
+            ensemble=ens.replace(q=q1, mass=mass),
+            potential_energy=u1, grad=g1)
+        info = HMCInfo(
+            accept_prob=accept_prob,
+            accepted=accepted,
+            energy_error=energy_error,
+            divergent=jnp.isinf(energy_error)
+            | (energy_error > divergence_threshold),
+            potential_energy=u1,
+            step_size=jnp.asarray(step_size),
+        )
+        return new_state, info
+
+    return HMCKernel(
+        init=base.init, step=step, num_steps=num_steps,
+        grad_evals_per_step=1)

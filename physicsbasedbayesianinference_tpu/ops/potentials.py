@@ -35,9 +35,12 @@ PotentialFn = Callable[[Array], Array]
 
 
 def _attach(fn: PotentialFn, *, analytic_grad: Optional[Callable] = None,
-            name: str = "") -> PotentialFn:
+            name: str = "", diag_quadratic=None) -> PotentialFn:
     fn.analytic_grad = analytic_grad  # type: ignore[attr-defined]
     fn.name = name or fn.__name__  # type: ignore[attr-defined]
+    # (k_diag, mean) for U = 0.5 sum k (q - mean)^2 — enables the packed
+    # fused TPU kernel (ops/pallas_kernels.make_fused_hmc_diag_quadratic)
+    fn.diag_quadratic = diag_quadratic  # type: ignore[attr-defined]
     return fn
 
 
@@ -66,7 +69,8 @@ def make_harmonic(spring_consts) -> PotentialFn:
     def grad(q):
         return k.astype(q.dtype) * q
 
-    return _attach(potential, analytic_grad=grad, name="harmonic")
+    return _attach(potential, analytic_grad=grad, name="harmonic",
+                   diag_quadratic=(k, 0.0))
 
 
 def make_standard_normal(num_dims: int) -> PotentialFn:
@@ -83,7 +87,9 @@ def make_standard_normal(num_dims: int) -> PotentialFn:
     def grad(q):
         return q
 
-    return _attach(potential, analytic_grad=grad, name=f"std_normal_{num_dims}d")
+    return _attach(potential, analytic_grad=grad,
+                   name=f"std_normal_{num_dims}d",
+                   diag_quadratic=(1.0, 0.0))
 
 
 def make_gaussian(mean: Array, cov: Optional[Array] = None,
@@ -113,7 +119,12 @@ def make_gaussian(mean: Array, cov: Optional[Array] = None,
     def grad(q):
         return (q - mean.astype(q.dtype)) @ precision.astype(q.dtype)
 
-    return _attach(potential, analytic_grad=grad, name="gaussian")
+    diag = None
+    off_diag = precision - jnp.diag(jnp.diagonal(precision))
+    if bool(jnp.all(off_diag == 0.0)):
+        diag = (jnp.diagonal(precision), mean)
+    return _attach(potential, analytic_grad=grad, name="gaussian",
+                   diag_quadratic=diag)
 
 
 def make_banana(a: float = 1.0, b: float = 100.0) -> PotentialFn:
