@@ -17,6 +17,14 @@ from .mesh import (
 )
 from .sharded import build_sharded_hmc_step, sharded_run_hmc
 from .distributed import initialize_distributed
+from .ring import (
+    BODY_AXIS,
+    make_body_mesh,
+    pad_bodies,
+    ring_nbody_accelerations,
+    ring_nbody_potential_energy,
+    ring_simulate,
+)
 
 __all__ = [
     "make_walker_mesh",
@@ -26,4 +34,10 @@ __all__ = [
     "build_sharded_hmc_step",
     "sharded_run_hmc",
     "initialize_distributed",
+    "BODY_AXIS",
+    "make_body_mesh",
+    "pad_bodies",
+    "ring_nbody_accelerations",
+    "ring_nbody_potential_energy",
+    "ring_simulate",
 ]
