@@ -22,6 +22,7 @@ from . import (
     parallel,
     physics,
     smc,
+    tempering,
     utils,
 )
 from .constants import NATURAL, SI, Constants, solar_system_units
@@ -35,6 +36,7 @@ from .ensemble import (
 from .hmc import HMCInfo, HMCKernel, HMCState, build_hmc_kernel, run_hmc
 from .nuts import NUTSInfo, NUTSKernel, build_nuts_kernel, run_nuts
 from .smc import SMCResult, run_smc
+from .tempering import PTResult, run_parallel_tempering
 
 __version__ = "0.1.0"
 
@@ -60,6 +62,9 @@ __all__ = [
     "smc",
     "SMCResult",
     "run_smc",
+    "tempering",
+    "PTResult",
+    "run_parallel_tempering",
     "nuts",
     "NUTSInfo",
     "NUTSKernel",

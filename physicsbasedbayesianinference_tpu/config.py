@@ -25,7 +25,7 @@ class RunConfig:
     model: str = "builtin:std_normal_2d"
     data_path: Optional[str] = None
 
-    sampler: str = "hmc"            # hmc | nuts | smc
+    sampler: str = "hmc"            # hmc | nuts | smc | pt
     num_walkers: int = 1024
     num_warmup: int = 500
     num_samples: int = 500
@@ -43,6 +43,10 @@ class RunConfig:
     # smc extras
     smc_beta0: float = 0.0
     smc_max_stages: int = 50
+
+    # parallel-tempering extras
+    pt_replicas: int = 8
+    pt_beta_min: float = 0.05
 
     # execution
     sharded: bool = False            # place walkers over all local devices

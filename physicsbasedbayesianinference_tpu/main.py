@@ -155,6 +155,25 @@ def run(cfg: RunConfig) -> dict:
             divergence_rate=float(res.divergence_rate),
             mean_tree_depth=float(res.mean_depth),
             step_size=float(res.step_size))
+    elif cfg.sampler == "pt":
+        from .tempering import run_parallel_tempering
+        res = run_parallel_tempering(
+            k_run, potential_fn, init_q,
+            num_replicas=cfg.pt_replicas, beta_min=cfg.pt_beta_min,
+            num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
+            num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
+            target_accept=cfg.target_accept, temperature=cfg.temperature,
+            constants=constants,
+            collect="samples" if cfg.collect == "samples" else cfg.collect)
+        samples = res.samples
+        summary.update(
+            accept_rates=np.asarray(res.accept_rate).tolist(),
+            swap_rates=np.asarray(res.swap_rate).tolist(),
+            step_sizes=np.asarray(res.step_sizes).tolist(),
+            betas=np.asarray(res.betas).tolist())
+        if res.mean is not None:
+            summary["posterior_mean"] = np.asarray(res.mean).tolist()
+            summary["posterior_var"] = np.asarray(res.var).tolist()
     elif cfg.sampler == "smc":
         from .smc import run_smc
         res = run_smc(

@@ -166,6 +166,30 @@ def make_funnel(num_dims: int = 10, sigma: float = 3.0) -> PotentialFn:
     return _attach(potential, name=f"funnel_{num_dims}d")
 
 
+def make_gaussian_mixture(means: Array, sigma: float = 1.0,
+                          log_weights: Optional[Array] = None) -> PotentialFn:
+    """Isotropic Gaussian mixture ``U(q) = -logsumexp_k (log w_k
+    - |q - mu_k|^2 / (2 sigma^2))`` — the canonical multimodal target for
+    the tempering methods (tempering.py / smc.py). Written directly in log
+    space (float32-safe, SURVEY.md §7 risks). ``means``: ``[K, D]``."""
+    mu = jnp.asarray(means)
+    k_comp = mu.shape[0]
+    if log_weights is None:
+        lw = jnp.zeros((k_comp,))
+    else:
+        lw = jnp.asarray(log_weights)
+    inv_var = 1.0 / (sigma * sigma)
+
+    def potential(q):
+        # q: [..., D]; component log densities: [..., K]
+        d2 = jnp.sum(
+            (q[..., None, :] - mu.astype(q.dtype)) ** 2, axis=-1)
+        comp = lw.astype(q.dtype) - 0.5 * inv_var * d2
+        return -jax.scipy.special.logsumexp(comp, axis=-1)
+
+    return _attach(potential, name=f"gaussian_mixture_{k_comp}")
+
+
 def no_potential(q: Array) -> Array:
     """U = 0 (reference ``noPotential``, potential.py:141-142): free flight."""
     return jnp.zeros(q.shape[:-1], dtype=q.dtype)
@@ -304,4 +328,6 @@ def builtin_potentials() -> dict:
         "std_normal_32d": lambda: make_standard_normal(32),
         "banana": make_banana,
         "funnel_10d": lambda: make_funnel(10),
+        "bimodal_2d": lambda: make_gaussian_mixture(
+            jnp.asarray([[-3.0, 0.0], [3.0, 0.0]])),
     }
