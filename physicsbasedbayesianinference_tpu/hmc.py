@@ -354,7 +354,7 @@ def build_fused_hmc_kernel(
     temperature: Union[float, Array] = 1.0,
     constants: Constants = NATURAL,
     divergence_threshold: float = 1000.0,
-    block_walkers: int = 256,
+    block_walkers: int = 512,
 ) -> HMCKernel:
     """Single-kernel HMC: the ENTIRE transition (thermal momentum refresh
     with in-kernel PRNG, trajectory, Metropolis select) as one Pallas call
