@@ -408,11 +408,9 @@ def build_fused_hmc_kernel(
             and mass_arr.ndim <= 1)  # scalar or per-dim diagonal metric
         if use_packed:
             k_diag, mean = diag
-            q1, u1, accept_prob, accepted, energy_error = packed(
+            q1, g1, u1, accept_prob, accepted, energy_error = packed(
                 seed, ens.q, step_size=step_size, p_std=p_std,
                 inv_mass=1.0 / mass, beta=beta, k_diag=k_diag, mean=mean)
-            # diagonal-quadratic gradient is one cheap elementwise pass
-            g1 = jnp.asarray(k_diag, q1.dtype) * (q1 - mean)
         else:
             q1, u1, g1, accept_prob, accepted, energy_error = generic(
                 seed, ens.q, state.potential_energy, state.grad,

@@ -437,7 +437,7 @@ def make_fused_hmc_diag_quadratic(
     free row-major bitcast at the kernel boundary.
 
     Returns ``transition(seed, q, *, step_size, p_std, inv_mass, beta,
-    k_diag, mean) -> (q', u', accept_prob, accepted, energy_error)``.
+    k_diag, mean) -> (q', grad', u', accept_prob, accepted, energy_error)``.
     """
 
     def transition(seed, q, *, step_size, p_std, inv_mass, beta,
@@ -474,7 +474,7 @@ def make_fused_hmc_diag_quadratic(
         ST = jnp.asarray(s_np.T, dtype)
 
         def kernel(seed_ref, sc_ref, q_ref, kp_ref, mu_ref, im_ref, ps_ref,
-                   s_ref, st_ref, q_out, u_out, acc_out, taken_out,
+                   s_ref, st_ref, q_out, g_out, u_out, acc_out, taken_out,
                    derr_out):
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
             dt = sc_ref[0, 0]
@@ -525,7 +525,11 @@ def make_fused_hmc_diag_quadratic(
 
             # expand per-walker mask to lanes and blend
             mask = jnp.dot(acc_f, st_mat, preferred_element_type=dtype)
-            q_out[:] = mask * q1 + (1.0 - mask) * q0
+            q_sel = mask * q1 + (1.0 - mask) * q0
+            q_out[:] = q_sel
+            # gradient of the selected state, written in-kernel so the
+            # caller needs no extra elementwise pass over [W, D]
+            g_out[:] = k * (q_sel - mu)
             u_out[:] = acc_f * u1 + (1.0 - acc_f) * u0
             acc_out[:] = accept_prob
             taken_out[:] = acc_f
@@ -552,12 +556,15 @@ def make_fused_hmc_diag_quadratic(
             out_specs=[
                 pl.BlockSpec((br, pack * d), block,
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack * d), block,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
             ],
             out_shape=[
+                jax.ShapeDtypeStruct((rows, pack * d), dtype),
                 jax.ShapeDtypeStruct((rows, pack * d), dtype),
                 jax.ShapeDtypeStruct((rows, pack), dtype),
                 jax.ShapeDtypeStruct((rows, pack), dtype),
@@ -566,9 +573,9 @@ def make_fused_hmc_diag_quadratic(
             ],
             interpret=_use_interpret(),
         )(seed_arr, scalars, qp, kp, mup, imp, psp, S, ST)
-        q1, u1, acc, taken, derr = out
-        return (q1.reshape(w, d), u1.reshape(w), acc.reshape(w),
-                taken.reshape(w) > 0.5, derr.reshape(w))
+        q1, g1, u1, acc, taken, derr = out
+        return (q1.reshape(w, d), g1.reshape(w, d), u1.reshape(w),
+                acc.reshape(w), taken.reshape(w) > 0.5, derr.reshape(w))
 
     transition.num_steps = num_steps  # type: ignore[attr-defined]
     return transition

@@ -104,7 +104,7 @@ def test_packed_kernel_statistics_tpu():
     @jax.jit
     def run(q, seeds):
         def body(q, seed):
-            q, u, acc, taken, derr = trans(
+            q, g, u, acc, taken, derr = trans(
                 seed, q, step_size=jnp.float32(0.64), p_std=1.0,
                 inv_mass=1.0, beta=1.0, k_diag=1.0, mean=0.0)
             return q, jnp.mean(acc)
