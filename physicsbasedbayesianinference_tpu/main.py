@@ -122,6 +122,12 @@ def run(cfg: RunConfig) -> dict:
         summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
         return summary
 
+    if cfg.sampler == "hmc" and cfg.checkpoint_dir:
+        summary.update(_checkpointed_hmc_run(
+            cfg, potential_fn, init_q, k_run, constants))
+        summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
+        return summary
+
     if cfg.sampler == "hmc":
         from .hmc import run_hmc
         res = run_hmc(
@@ -212,6 +218,115 @@ def run(cfg: RunConfig) -> dict:
         np.savez_compressed(cfg.output_path, **arrays)
         print(f"# wrote {cfg.output_path}", file=sys.stderr)
     return summary
+
+
+def _checkpointed_hmc_run(cfg: RunConfig, potential_fn, init_q, key,
+                          constants) -> dict:
+    """Fault-tolerant HMC: warmup once, then sample in chunks of
+    ``checkpoint_every`` transitions, checkpointing {sampler state, adapted
+    step size, streaming moments, RNG chunk index} through orbax after each
+    chunk. Re-running the same config against the same ``checkpoint_dir``
+    resumes from the latest checkpoint — the recovery story SURVEY.md §5
+    specifies (restart with the same topology and continue). Collection is
+    streaming moments (O(D) state — checkpoints stay small at any walker
+    count)."""
+    from .checkpoint import CheckpointManager
+    from .hmc import build_hmc_kernel, run_hmc
+
+    num_dims = init_q.shape[-1]
+    dtype = init_q.dtype
+    every = cfg.checkpoint_every if cfg.checkpoint_every > 0 \
+        else cfg.num_samples
+    kernel = build_hmc_kernel(
+        potential_fn, num_steps=cfg.num_steps,
+        temperature=cfg.temperature, constants=constants)
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+
+    def canonical(state):
+        # restore templates need a fixed mass shape: always per-dim [D]
+        mass = jnp.broadcast_to(
+            jnp.asarray(state.ensemble.mass, dtype), (1, num_dims))[0]
+        return state.replace(ensemble=state.ensemble.replace(mass=mass))
+
+    latest = mgr.latest_step()
+    if latest is None:
+        warm = run_hmc(
+            key, potential_fn, init_q,
+            num_warmup=cfg.num_warmup, num_samples=0,
+            num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
+            target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
+            temperature=cfg.temperature, constants=constants,
+            collect="none")
+        payload = {
+            "state": canonical(warm.state),
+            "step_size": warm.step_size,
+            "mean": jnp.zeros((num_dims,), dtype),
+            "m2": jnp.zeros((num_dims,), dtype),
+            "n": jnp.zeros((), dtype),
+        }
+        done = 0
+        resumed_from = None
+    else:
+        template = {
+            "state": canonical(kernel.init(init_q)),
+            "step_size": jnp.zeros((), dtype),
+            "mean": jnp.zeros((num_dims,), dtype),
+            "m2": jnp.zeros((num_dims,), dtype),
+            "n": jnp.zeros((), dtype),
+        }
+        payload = mgr.restore(template, latest)
+        done = int(latest)
+        resumed_from = done
+        print(f"# resumed from checkpoint step {done} in "
+              f"{cfg.checkpoint_dir}", file=sys.stderr)
+
+    @jax.jit
+    def chunk(state, chunk_key, step_size, mean, m2, n):
+        def body(carry, k):
+            st, mean, m2, n = carry
+            st, info = kernel.step(k, st, step_size)
+            q = st.ensemble.q
+            w = q.shape[0]
+            n_new = n + w
+            bm = jnp.mean(q, axis=0)
+            delta = bm - mean
+            mean = mean + delta * (w / n_new)
+            m2 = m2 + jnp.sum((q - bm) ** 2, axis=0) \
+                + delta**2 * (n * w / n_new)
+            return (st, mean, m2, n_new), jnp.mean(info.accept_prob)
+
+        keys = jax.random.split(chunk_key, every)
+        (state, mean, m2, n), acc = jax.lax.scan(
+            body, (state, mean, m2, n), keys)
+        return state, mean, m2, n, jnp.mean(acc)
+
+    accs = []
+    saves = 0
+    while done < cfg.num_samples:
+        # chunk keys derive from the chunk index, so a resumed run draws
+        # exactly the chunks the interrupted run would have drawn
+        ck = jax.random.fold_in(jax.random.fold_in(key, 7), done)
+        state, mean, m2, n, acc = chunk(
+            payload["state"], ck, payload["step_size"],
+            payload["mean"], payload["m2"], payload["n"])
+        done += every
+        payload = {"state": canonical(state), "step_size":
+                   payload["step_size"], "mean": mean, "m2": m2, "n": n}
+        mgr.save(done, payload, force=True)
+        saves += 1
+        accs.append(float(acc))
+    mgr.close()
+
+    var = payload["m2"] / jnp.maximum(payload["n"] - 1.0, 1.0)
+    return {
+        "accept_rate": float(np.mean(accs)) if accs else None,
+        "step_size": float(payload["step_size"]),
+        "posterior_mean": np.asarray(payload["mean"]).tolist(),
+        "posterior_var": np.asarray(var).tolist(),
+        "samples_done": int(done),
+        "resumed_from": resumed_from,
+        "checkpoints_written": saves,
+    }
 
 
 def _stream_run(cfg: RunConfig, potential_fn, init_q, key, constants) -> dict:

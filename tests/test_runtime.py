@@ -148,6 +148,27 @@ def test_cli_run_hmc_gaussian(tmp_path):
     assert json.loads(str(data["summary"]))["accept_rate"] > 0.6
 
 
+def test_cli_checkpointed_run_resumes(tmp_path):
+    """CLI fault-tolerance path: a second invocation against the same
+    checkpoint_dir resumes from the latest checkpoint instead of
+    rewarming, and extends the run to the new num_samples."""
+    ckpt = str(tmp_path / "ckpt")
+    base = dict(model="builtin:std_normal_2d", sampler="hmc",
+                num_walkers=128, num_warmup=80, num_steps=8,
+                checkpoint_dir=ckpt, checkpoint_every=20, seed=5)
+    s1 = run(RunConfig(num_samples=40, **base))
+    assert s1["resumed_from"] is None
+    assert s1["samples_done"] == 40
+    assert s1["checkpoints_written"] == 2
+
+    s2 = run(RunConfig(num_samples=80, **base))
+    assert s2["resumed_from"] == 40
+    assert s2["samples_done"] == 80
+    assert s2["checkpoints_written"] == 2
+    np.testing.assert_allclose(s2["posterior_mean"], 0.0, atol=0.1)
+    np.testing.assert_allclose(s2["posterior_var"], 1.0, atol=0.2)
+
+
 def test_cli_run_example_coin_toss(tmp_path):
     data_path = str(tmp_path / "coins.json")
     with open(data_path, "w") as f:
