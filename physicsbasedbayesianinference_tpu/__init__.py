@@ -10,6 +10,7 @@ integrators, adaptation, tempering/SMC, and N-body physics targets.
 from . import (
     adaptation,
     checkpoint,
+    chees,
     config,
     constants,
     diagnostics,
@@ -36,6 +37,7 @@ from .ensemble import (
 from .hmc import HMCInfo, HMCKernel, HMCState, build_hmc_kernel, run_hmc
 from .nuts import NUTSInfo, NUTSKernel, build_nuts_kernel, run_nuts
 from .smc import SMCResult, run_smc
+from .chees import ChEESRunResult, run_chees_hmc
 from .tempering import PTResult, run_parallel_tempering
 
 __version__ = "0.1.0"
@@ -63,6 +65,9 @@ __all__ = [
     "SMCResult",
     "run_smc",
     "tempering",
+    "chees",
+    "ChEESRunResult",
+    "run_chees_hmc",
     "PTResult",
     "run_parallel_tempering",
     "nuts",

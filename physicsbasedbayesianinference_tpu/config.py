@@ -25,7 +25,7 @@ class RunConfig:
     model: str = "builtin:std_normal_2d"
     data_path: Optional[str] = None
 
-    sampler: str = "hmc"            # hmc | nuts | smc | pt
+    sampler: str = "hmc"            # hmc | nuts | smc | pt | chees
     num_walkers: int = 1024
     num_warmup: int = 500
     num_samples: int = 500

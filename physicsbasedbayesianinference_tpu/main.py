@@ -161,6 +161,25 @@ def run(cfg: RunConfig) -> dict:
             divergence_rate=float(res.divergence_rate),
             mean_tree_depth=float(res.mean_depth),
             step_size=float(res.step_size))
+    elif cfg.sampler == "chees":
+        from .chees import run_chees_hmc
+        res = run_chees_hmc(
+            k_run, potential_fn, init_q,
+            num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
+            init_step_size=cfg.init_step_size,
+            target_accept=cfg.target_accept, temperature=cfg.temperature,
+            constants=constants,
+            collect="samples" if cfg.collect == "samples" else cfg.collect)
+        samples = res.samples
+        summary.update(
+            accept_rate=float(res.accept_rate),
+            divergence_rate=float(res.divergence_rate),
+            step_size=float(res.step_size),
+            trajectory_time=float(res.trajectory_time),
+            mean_num_steps=float(res.mean_num_steps))
+        if res.mean is not None:
+            summary["posterior_mean"] = np.asarray(res.mean).tolist()
+            summary["posterior_var"] = np.asarray(res.var).tolist()
     elif cfg.sampler == "pt":
         from .tempering import run_parallel_tempering
         res = run_parallel_tempering(
