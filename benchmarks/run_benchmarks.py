@@ -179,6 +179,48 @@ def sharded_100k(jax, jnp, np):
     }
 
 
+@bench("sampler_matrix")
+def sampler_matrix(jax, jnp, np):
+    """ESS per gradient evaluation across samplers on an ill-conditioned
+    Gaussian (condition number 100): fixed-length HMC vs ChEES-adapted
+    trajectories vs NUTS. The efficiency ladder that motivates adaptive
+    trajectory lengths."""
+    import physicsbasedbayesianinference_tpu as pbbi
+    from physicsbasedbayesianinference_tpu import diagnostics as diag
+    from physicsbasedbayesianinference_tpu.chees import run_chees_hmc
+    from physicsbasedbayesianinference_tpu.ops import potentials as pot
+
+    d, w, s = 16, 512, 400
+    sds = jnp.logspace(0.0, 1.0, d)  # sd 1..10
+    target = pot.make_gaussian(jnp.zeros((d,)), cov=jnp.diag(sds**2))
+    init = jax.random.normal(jax.random.key(20), (w, d)) * sds
+    out = {}
+
+    res_h = pbbi.run_hmc(jax.random.key(21), target, init,
+                         num_warmup=300, num_samples=s, num_steps=16)
+    grads_h = 16 + 1
+    out["hmc16_ess_per_grad"] = float(
+        jnp.min(diag.effective_sample_size(res_h.samples)) / (s * w * grads_h))
+
+    res_c = run_chees_hmc(jax.random.key(22), target, init,
+                          num_warmup=300, num_samples=s, init_tau=1.0,
+                          init_step_size=0.2)
+    out["chees_mean_steps"] = float(res_c.mean_num_steps)
+    out["chees_ess_per_grad"] = float(
+        jnp.min(diag.effective_sample_size(res_c.samples))
+        / (s * w * (res_c.mean_num_steps + 1)))
+
+    res_n = pbbi.run_nuts(jax.random.key(23), target, init,
+                          num_warmup=300, num_samples=s, max_depth=7)
+    # NUTS grad count ~ mean 2^depth per transition
+    n_grads = float(2.0 ** res_n.mean_depth)
+    out["nuts_mean_depth"] = float(res_n.mean_depth)
+    out["nuts_ess_per_grad"] = float(
+        jnp.min(diag.effective_sample_size(res_n.samples))
+        / (s * w * (n_grads + 1)))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
