@@ -25,6 +25,7 @@ from .ring import (
     ring_nbody_potential_energy,
     ring_simulate,
 )
+from .resample import ring_systematic_resample
 
 __all__ = [
     "make_walker_mesh",
@@ -40,4 +41,5 @@ __all__ = [
     "ring_nbody_accelerations",
     "ring_nbody_potential_energy",
     "ring_simulate",
+    "ring_systematic_resample",
 ]
