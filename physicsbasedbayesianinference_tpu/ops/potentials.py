@@ -5,9 +5,11 @@ src/potential.py). Every potential here is a *pure function of a single
 walker's position vector* ``q: [D] -> scalar``; the sampler batches it with
 ``vmap`` and differentiates it with ``value_and_grad`` — there are no
 per-particle Python loops (contrast reference potential.py:88-99, an O(N^2)
-double Python loop) and no finite differences (contrast reference
-``nBodyForce``/``getForceArray`` built on ``scipy.optimize.approx_fprime``,
-potential.py:104-138 — autodiff replaces them exactly).
+double Python loop) and no finite differences on the hot path (contrast
+reference ``nBodyForce``/``getForceArray`` built on
+``scipy.optimize.approx_fprime``, potential.py:104-138 — autodiff replaces
+them exactly; a vmapped central-difference oracle is kept as
+:func:`numerical_grad`/:func:`numerical_force` for testing).
 
 Potentials that have cheap closed-form gradients also expose them via the
 ``analytic_grad`` attribute so the Pallas fused-trajectory kernel can inline
@@ -293,6 +295,42 @@ def make_nbody_potential(
 
     return _attach(potential, analytic_grad=grad,
                    name=f"nbody_{num_bodies}x{num_space_dims}")
+
+
+# ---------------------------------------------------------------------------
+# Numerical differentiation (reference parity: nBodyForce / getForceArray)
+# ---------------------------------------------------------------------------
+
+
+def numerical_grad(potential_fn: PotentialFn,
+                   eps: float = 1e-4) -> Callable[[Array], Array]:
+    """Central-difference gradient ``q:[D] -> dU/dq:[D]``.
+
+    Parity with the reference's numerical force path (``nBodyForce`` /
+    ``getForceArray`` built on forward-difference ``scipy.optimize
+    .approx_fprime``, potential.py:104-138), as an *oracle for testing
+    autodiff/analytic gradients* — never used on the hot path. Central
+    differences (O(eps^2), vs the reference's O(eps) forward differences)
+    keep the oracle usable in float32. All 2D perturbed evaluations run as
+    one vmapped batch, not a per-dimension Python loop.
+    """
+
+    def grad(q):
+        basis = eps * jnp.eye(q.shape[-1], dtype=q.dtype)
+        u_plus = jax.vmap(potential_fn)(q[None, :] + basis)
+        u_minus = jax.vmap(potential_fn)(q[None, :] - basis)
+        return (u_plus - u_minus) / (2.0 * eps)
+
+    return grad
+
+
+def numerical_force(potential_fn: PotentialFn,
+                    eps: float = 1e-4) -> Callable[[Array], Array]:
+    """``F = -grad U`` by central differences (reference ``nBodyForce``,
+    potential.py:104-119, returns the negative gradient of the N-body
+    potential)."""
+    g = numerical_grad(potential_fn, eps)
+    return lambda q: -g(q)
 
 
 # ---------------------------------------------------------------------------

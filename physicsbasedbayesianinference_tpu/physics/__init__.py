@@ -27,6 +27,7 @@ from .simulate import (
     energy_drift,
     simulate,
     simulate_adaptive,
+    simulate_rk45,
 )
 
 __all__ = [
@@ -35,6 +36,6 @@ __all__ = [
     "center_of_mass_frame", "accelerations", "jerk", "total_energy",
     "total_angular_momentum", "two_body_invariants", "solar_system",
     "kepler_two_body", "load_nbody_text", "save_nbody_text", "Trajectory",
-    "simulate_adaptive", "adaptive_dt_simple", "adaptive_dt_advanced",
-    "energy_drift",
+    "simulate_adaptive", "simulate_rk45", "adaptive_dt_simple",
+    "adaptive_dt_advanced", "energy_drift",
 ]

@@ -137,6 +137,47 @@ def hermite(accel_fn: AccelFn, jerk_fn: JerkFn, x, v, dt, *,
     return jax.lax.fori_loop(0, num_corrector_iters, body, (xp, vp))
 
 
+# Dormand-Prince 5(4) tableau (the pair inside MATLAB's ode45 — the module
+# the reference's IntegrateRK tried and failed to import, Integrators.py:10).
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
+
+
+def rk45_step(accel_fn: AccelFn, x, v, dt):
+    """One embedded Dormand-Prince 5(4) step on the joint (x, v) system.
+
+    Returns ``(x5, v5, err_x, err_v)``: the 5th-order solution and the
+    (5th - 4th)-order error estimate per component. This is the working
+    ``ode45`` kernel the reference's ``IntegrateRK`` was written against
+    (Integrators.py:373-384 imports a nonexistent ``ode45`` module); the
+    adaptive accept/reject controller lives in
+    :func:`..physics.simulate.simulate_rk45`.
+    """
+    kx, kv = [], []
+    for row in _DP_A:
+        xs = x + dt * sum(c * k for c, k in zip(row, kx))
+        vs = v + dt * sum(c * k for c, k in zip(row, kv))
+        kx.append(vs)
+        kv.append(accel_fn(xs))
+    x5 = x + dt * sum(b * k for b, k in zip(_DP_B5, kx))
+    v5 = v + dt * sum(b * k for b, k in zip(_DP_B5, kv))
+    err_x = dt * sum((b5 - b4) * k
+                     for b5, b4, k in zip(_DP_B5, _DP_B4, kx))
+    err_v = dt * sum((b5 - b4) * k
+                     for b5, b4, k in zip(_DP_B5, _DP_B4, kv))
+    return x5, v5, err_x, err_v
+
+
 INTEGRATORS = {
     "explicit_euler": explicit_euler,
     "symplectic_euler": symplectic_euler,

@@ -227,6 +227,75 @@ def simulate_adaptive(
                       initial_energy=e0, final=final, num_valid=i)
 
 
+@partial(jax.jit, static_argnames=(
+    "max_steps", "softening", "constants"))
+def simulate_rk45(
+    system: NBodySystem,
+    dt0: float,
+    final_time: float,
+    *,
+    rtol: float = 1e-6,
+    atol: float = 1e-9,
+    max_steps: int = 10_000,
+    constants: Constants = NATURAL,
+    softening: float = 0.0,
+) -> Trajectory:
+    """Error-controlled Dormand-Prince 5(4) integration to ``final_time`` —
+    the working ``ode45`` the reference's ``IntegrateRK`` was written against
+    (Integrators.py:10,373-384; the import is broken there). Standard
+    controller: scaled RMS error norm over (x, v), accept when <= 1,
+    dt *= clip(0.9 * err^{-1/5}, 0.2, 5.0); rejected steps retry with the
+    shrunk dt and do not advance time or consume an output slot."""
+    accel = lambda x: _accel_of(system, x, constants, softening)
+    dtype = system.x.dtype
+    final_time = jnp.asarray(final_time, dtype=dtype)
+
+    xs = jnp.zeros((max_steps,) + system.x.shape, dtype)
+    vs = jnp.zeros_like(xs)
+    ts = jnp.zeros((max_steps,), dtype)
+    es = jnp.zeros((max_steps,), dtype)
+    ls = jnp.zeros((max_steps,), dtype)
+
+    def err_norm(err, ref_a, ref_b):
+        scale = atol + rtol * jnp.maximum(jnp.abs(ref_a), jnp.abs(ref_b))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def cond(carry):
+        t, dt, i, tries, *_ = carry
+        return (t < final_time) & (i < max_steps) & (tries < 8 * max_steps)
+
+    def body(carry):
+        t, dt, i, tries, x, v, xs, vs, ts, es, ls = carry
+        dt_c = jnp.minimum(dt, final_time - t)
+        xn, vn, err_x, err_v = phyint.rk45_step(accel, x, v, dt_c)
+        err = jnp.maximum(err_norm(err_x, x, xn), err_norm(err_v, v, vn))
+        accept = err <= 1.0
+        factor = jnp.clip(0.9 * (err + 1e-30) ** -0.2, 0.2, 5.0)
+        dt = dt_c * factor
+        x = jnp.where(accept, xn, x)
+        v = jnp.where(accept, vn, v)
+        t = jnp.where(accept, t + dt_c, t)
+        sys_n = system.replace(x=x, v=v, time=t)
+        e, l = _diag(sys_n, constants, softening)
+        slot = jnp.where(accept, i, max_steps - 1)  # dummy slot on reject
+        xs = jnp.where(accept, xs.at[slot].set(x), xs)
+        vs = jnp.where(accept, vs.at[slot].set(v), vs)
+        ts = jnp.where(accept, ts.at[slot].set(t), ts)
+        es = jnp.where(accept, es.at[slot].set(e), es)
+        ls = jnp.where(accept, ls.at[slot].set(l), ls)
+        return (t, dt, i + accept.astype(i.dtype), tries + 1,
+                x, v, xs, vs, ts, es, ls)
+
+    e0, _ = _diag(system, constants, softening)
+    t, dt, i, _, x, v, xs, vs, ts, es, ls = jax.lax.while_loop(
+        cond, body,
+        (system.time, jnp.asarray(dt0, dtype), jnp.asarray(0),
+         jnp.asarray(0), system.x, system.v, xs, vs, ts, es, ls))
+    final = system.replace(x=x, v=v, time=t)
+    return Trajectory(x=xs, v=vs, times=ts, energy=es, angular_momentum=ls,
+                      initial_energy=e0, final=final, num_valid=i)
+
+
 def energy_drift(traj: Trajectory) -> Array:
     """|E_t - E_0| / |E_0| over saved states, relative to the energy of the
     *initial* state — the reference's correctness oracle rendered as

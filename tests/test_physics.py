@@ -280,3 +280,49 @@ def test_potential_energy_matches_python_reference_formula():
     ours = nbody_potential_energy(
         jnp.asarray(x), jnp.asarray(m), constants=NATURAL)
     np.testing.assert_allclose(float(ours), u, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# embedded RK45 (the working ode45, reference Integrators.py:10 is broken)
+# ---------------------------------------------------------------------------
+
+def test_rk45_kepler_accuracy_and_adaptivity():
+    """One eccentric Kepler orbit under error control: energy conserved to
+    near the tolerance, and the controller actually varies dt (smaller near
+    perihelion than aphelion)."""
+    sys_, const = _kepler()
+    period = 2.0 * np.pi
+    traj = physics.simulate_rk45(
+        sys_, 1e-2, 3.0 * period, rtol=1e-9, atol=1e-12,
+        max_steps=20_000, constants=const)
+    n = int(traj.num_valid)
+    assert 0 < n < 20_000
+    drift = physics.energy_drift(traj)[:n]
+    assert float(jnp.max(drift)) < 1e-7, float(jnp.max(drift))
+    # reached final time
+    np.testing.assert_allclose(float(traj.final.time), 3.0 * period,
+                               rtol=1e-12)
+    # adaptive: step sizes span a real range on an e=0.5 orbit
+    dts = np.diff(np.asarray(traj.times[:n]))
+    assert dts.min() > 0
+    assert dts.max() / dts.min() > 3.0
+
+
+def test_rk45_step_order():
+    """Single-step error scales ~dt^6 (local order of the 5th-order pair):
+    halving dt shrinks the one-step position error by ~2^6."""
+    sys_, const = _kepler()
+    accel = lambda x: physics.accelerations(
+        sys_.replace(x=x), constants=const)
+
+    def one_step_err(dt):
+        ref = physics.simulate_rk45(
+            sys_, dt / 64, dt, rtol=1e-13, atol=1e-15,
+            max_steps=8192, constants=const)
+        x1, _, _, _ = physics.integrators.rk45_step(
+            accel, sys_.x, sys_.v, jnp.asarray(dt, jnp.float64))
+        return float(jnp.max(jnp.abs(x1 - ref.final.x)))
+
+    e1, e2 = one_step_err(0.2), one_step_err(0.1)
+    ratio = e1 / e2
+    assert 2**5 < ratio < 2**8, ratio

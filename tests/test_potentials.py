@@ -122,3 +122,31 @@ def test_funnel_finite():
     assert np.all(np.isfinite(np.asarray(g)))
     assert u.shape == (11,)
     assert g.shape == (11, 5)
+
+
+def test_numerical_grad_oracle():
+    """Central-difference oracle (reference nBodyForce/getForceArray parity,
+    potential.py:104-138) agrees with analytic gradients, and force = -grad."""
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_harmonic, make_nbody_potential, numerical_force, numerical_grad)
+    import jax
+
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        k = jnp.asarray([2.0, 3.0, 0.5], dtype=jnp.float64)
+        pot = make_harmonic(k)
+        q = jnp.asarray([3.0, -4.0, 1.5], dtype=jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(numerical_grad(pot, 1e-6)(q)),
+            np.asarray(pot.analytic_grad(q)), rtol=1e-6)
+
+        mass = jnp.asarray([1.0, 2.0, 3.0], dtype=jnp.float64)
+        npot = make_nbody_potential(mass, 3, 3)
+        qn = jnp.asarray(
+            np.random.default_rng(1).normal(size=9), dtype=jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(numerical_force(npot, 1e-6)(qn)),
+            -np.asarray(npot.analytic_grad(qn)), rtol=1e-5, atol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", old)
