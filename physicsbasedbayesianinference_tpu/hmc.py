@@ -368,9 +368,11 @@ def build_fused_hmc_kernel(
     per-dim metric qualifies); potential must be jax-traceable (all
     builtins and model potentials are).
     """
+    from .ops.packed import PackedUnsupported, packed_value_and_grad
     from .ops.pallas_kernels import (
         _use_interpret,
         make_fused_hmc_diag_quadratic,
+        make_fused_hmc_packed,
         make_fused_hmc_transition,
     )
 
@@ -391,6 +393,25 @@ def build_fused_hmc_kernel(
         num_steps=num_steps,
         divergence_threshold=divergence_threshold) if diag is not None         else None
 
+    # generalized packed path: works for any potential whose jaxpr the
+    # ops.packed interpreter covers; built lazily once D is known (at
+    # trace time) and memoized. None entries mark unsupported dims.
+    _packed_generic_cache: dict = {}
+
+    def _packed_generic_for(num_dims: int):
+        if num_dims not in _packed_generic_cache:
+            trans = None
+            if 128 % num_dims == 0:
+                try:
+                    pvg = packed_value_and_grad(potential_fn, num_dims)
+                    trans = make_fused_hmc_packed(
+                        pvg, num_dims=num_dims, num_steps=num_steps,
+                        divergence_threshold=divergence_threshold)
+                except PackedUnsupported:
+                    trans = None
+            _packed_generic_cache[num_dims] = trans
+        return _packed_generic_cache[num_dims]
+
     def step(key: Array, state: HMCState, step_size: Array,
              mass: Optional[Array] = None) -> tuple[HMCState, HMCInfo]:
         ens = state.ensemble
@@ -406,11 +427,22 @@ def build_fused_hmc_kernel(
             and 128 % num_dims == 0
             and ens.num_walkers % (128 // num_dims) == 0
             and mass_arr.ndim <= 1)  # scalar or per-dim diagonal metric
+        packed_generic = None
+        if (not use_packed and 128 % num_dims == 0
+                and ens.num_walkers % (128 // num_dims) == 0
+                and mass_arr.ndim <= 1):
+            packed_generic = _packed_generic_for(num_dims)
         if use_packed:
             k_diag, mean = diag
             q1, g1, u1, accept_prob, accepted, energy_error = packed(
                 seed, ens.q, step_size=step_size, p_std=p_std,
                 inv_mass=1.0 / mass, beta=beta, k_diag=k_diag, mean=mean)
+        elif packed_generic is not None:
+            q1, u1, g1, accept_prob, accepted, energy_error = \
+                packed_generic(
+                    seed, ens.q, state.potential_energy, state.grad,
+                    step_size=step_size, p_std=p_std, inv_mass=1.0 / mass,
+                    beta=beta)
         else:
             q1, u1, g1, accept_prob, accepted, energy_error = generic(
                 seed, ens.q, state.potential_energy, state.grad,

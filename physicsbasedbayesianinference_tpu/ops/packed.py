@@ -1,0 +1,509 @@
+"""Walker-packed layout transform: evaluate ANY potential at full VPU lane
+utilisation.
+
+The TPU VPU operates on (8, 128) float32 tiles. A [W, D] ensemble with
+D < 128 wastes (128 - D)/128 of every lane row; the BASELINE.md kernel
+ladder measured 4x throughput from packing P = 128/D walkers into each
+row for the diagonal-quadratic special case. This module generalises the
+trick to *arbitrary jax-traceable potentials* (VERDICT.md round-1 item 1):
+
+    packed_vg = packed_value_and_grad(potential_fn, num_dims)
+    u, g = packed_vg(qp)     # qp: [rows, P*D]  ->  u: [rows, P], g like qp
+
+The per-walker ``value_and_grad`` jaxpr is re-interpreted in the packed
+layout by two rules:
+
+* **elementwise** primitives (add/mul/exp/select_n/...) act identically in
+  any layout — they are re-bound on the packed arrays unchanged; constants
+  are tiled once per walker segment.
+* **affine** primitives (slice, pad, broadcast_in_dim, reduce_sum,
+  dot_general against constants, gather, scatter-add, concatenate,
+  transpose, ...) are *linear maps* on the per-walker tail. Each is
+  materialised once, at transform time, into its matrix ``M[k_in, k_out]``
+  by evaluating the primitive on basis vectors; the packed op is then one
+  ``(rows, P*k_in) @ blockdiag_P(M)`` matmul — which runs on the MXU,
+  turning layout bookkeeping into systolic-array work. Affine chains could
+  be fused further, but XLA constant-folds the tiny blockdiag operands and
+  the matmuls pipeline behind the elementwise trajectory math.
+* **segment reductions** that are not linear (reduce_max/reduce_min, the
+  core of logsumexp in mixture targets) use a masked lane-shift fold:
+  ceil(log2(k)) shifted elementwise max/min passes, then a 0/1 extraction
+  matmul.
+
+Because the transform is jax->jax, the packed function traces into the
+fused Pallas HMC kernel exactly like any other potential (the blockdiag
+matrices ride the existing const-hoisting path) AND is unit-testable on
+CPU against the unpacked oracle with no TPU in the loop.
+
+Reference parity anchor: this serves the models the reference actually
+fits (samples/NumpyroExamples/eight_schools.py:5-10, CoinToss.py:5-22) at
+the throughput previously reserved for the synthetic Gaussian benchmark.
+
+Dimensions that do not divide 128 are handled by :func:`pad_potential`:
+the state is embedded in R^{D'} (next divisor of 128) with independent
+standard-normal auxiliary coordinates — a product target whose first-D
+marginals are exactly the original posterior.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.extend import core as jcore
+
+Array = jax.Array
+
+
+class PackedUnsupported(Exception):
+    """Raised when a potential's jaxpr uses a primitive (or primitive mode)
+    the packed interpreter does not cover; callers fall back to the natural
+    [W, D] layout (hmc.build_fused_hmc_kernel does this automatically)."""
+
+
+# Elementwise primitives: same op in any layout. Names are
+# ``jax.extend.core.Primitive.name`` strings.
+_ELEMENTWISE = frozenset({
+    "add", "add_any", "sub", "mul", "div", "rem", "neg", "sign", "abs",
+    "exp", "exp2", "expm1", "log", "log1p", "sqrt", "rsqrt", "cbrt",
+    "integer_pow", "pow", "square",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "erf", "erfc", "erf_inv", "lgamma", "digamma", "logistic",
+    "floor", "ceil", "round", "clamp", "nextafter",
+    "max", "min", "eq", "ne", "ge", "gt", "le", "lt",
+    "and", "or", "xor", "not", "is_finite", "select_n",
+    "stop_gradient", "copy", "convert_element_type",
+})
+
+# Affine (jointly linear + constant offset) in their array operands when
+# all shape/index parameters are static — representable as one matrix per
+# walker-dependent operand.
+_AFFINE = frozenset({
+    "broadcast_in_dim", "pad", "slice", "squeeze", "reshape", "expand_dims",
+    "reduce_sum", "dot_general", "gather", "scatter-add", "scatter_add",
+    "concatenate", "transpose", "rev", "real", "imag", "cumsum",
+    "dynamic_slice",
+})
+
+# Call-like primitives to recurse through.
+_CALLS = frozenset({
+    "pjit", "jit", "closed_call", "custom_jvp_call", "custom_vjp_call",
+    "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr", "remat", "checkpoint",
+    "remat2", "custom_vjp_call_custom_transpose",
+})
+
+_SEG_REDUCE = frozenset({"reduce_max", "reduce_min"})
+
+
+class _Packed:
+    """A walker-dependent value: ``arr`` is ``(rows, P * k)`` (or a
+    row-broadcastable ``(1, P * k)``); ``tail`` is the logical per-walker
+    shape, ``k = prod(tail)``."""
+
+    __slots__ = ("arr", "tail")
+
+    def __init__(self, arr, tail):
+        self.arr = arr
+        self.tail = tuple(tail)
+
+    @property
+    def k(self) -> int:
+        return int(np.prod(self.tail, dtype=np.int64)) if self.tail else 1
+
+
+class _Const:
+    """A walker-independent value kept in its logical shape; primitives
+    among constants evaluate eagerly (constant folding)."""
+
+    __slots__ = ("val",)
+
+    def __init__(self, val):
+        self.val = val
+
+
+def _memo(store, key, thunk):
+    """Build-time memoisation of constant artifacts.
+
+    The interpreter runs twice: once at build time on a concrete probe
+    (outside any trace — every constant matrix/tile is computed eagerly and
+    cached as numpy), then under tracing at each use, where these cached
+    numpy constants enter the graph as jaxpr *constants* rather than as
+    staged constant-constructing ops. This matters inside Pallas kernels:
+    constant-construction primitives (iota/eq/kron reshapes) would otherwise
+    land in the kernel body, where Mosaic cannot lower them.
+    """
+    if key not in store:
+        store[key] = thunk()
+    return store[key]
+
+
+def _np(x):
+    return np.asarray(jax.device_get(x))
+
+
+def _tile_const_np(val, pack: int):
+    """Logical const (shape == tail) -> packed numpy row ``(1, P * k)``."""
+    flat = _np(val).reshape(-1)
+    return np.tile(flat, (pack,))[None, :]
+
+
+def _blockdiag_np(m, pack: int):
+    """``M[k1, k2] -> blockdiag_P(M)[P*k1, P*k2]`` (numpy)."""
+    m = _np(m)
+    return np.kron(np.eye(pack, dtype=m.dtype), m)
+
+
+def _bcast_matrix_np(tail_in: tuple, out_tail: tuple, dtype) -> np.ndarray:
+    """0/1 matrix M[k_in, k_out] with broadcast(x) == x @ M (numpy
+    size-1-broadcasting semantics from tail_in to out_tail)."""
+    k_in = int(np.prod(tail_in, dtype=np.int64)) if tail_in else 1
+    k_out = int(np.prod(out_tail, dtype=np.int64)) if out_tail else 1
+    basis = np.eye(k_in, dtype=np.float32).reshape((k_in,) + tuple(tail_in))
+    cols = np.stack([np.broadcast_to(b, out_tail) for b in basis])
+    return cols.reshape(k_in, k_out).astype(dtype)
+
+
+def _broadcast_packed(v: _Packed, out_tail: tuple, pack: int, store,
+                      key) -> Array:
+    """Broadcast a packed value's tail to ``out_tail`` inside the packed
+    layout: identity when tails match, else one block-diagonal 0/1 matmul."""
+    if v.tail == tuple(out_tail):
+        return v.arr
+    k_out = int(np.prod(out_tail, dtype=np.int64)) if out_tail else 1
+    if v.k == 1 and k_out == 1:
+        return v.arr
+    dt = v.arr.dtype
+    if dt == jnp.bool_:
+        # 0/1 blockdiag matmuls are exact on {0,1} floats
+        f = _broadcast_packed(
+            _Packed(v.arr.astype(jnp.float32), v.tail), out_tail, pack,
+            store, key)
+        return f > 0.5
+    if not jnp.issubdtype(dt, jnp.floating):
+        raise PackedUnsupported(
+            f"broadcast of non-float walker value {dt} in packed layout")
+    b = _memo(store, key, lambda: _blockdiag_np(
+        _bcast_matrix_np(v.tail, out_tail, np.dtype(dt)), pack))
+    return jnp.dot(v.arr, b, preferred_element_type=dt)
+
+
+def _subjaxpr(eqn):
+    params = eqn.params
+    for key in ("jaxpr", "call_jaxpr"):
+        if key in params:
+            j = params[key]
+            if hasattr(j, "jaxpr"):  # ClosedJaxpr
+                return j.jaxpr, j.consts
+            return j, []
+    raise PackedUnsupported(f"call primitive without jaxpr: {eqn.primitive}")
+
+
+def _segment_fold(arr: Array, k: int, pack: int, prim_name: str) -> Array:
+    """Non-linear segment reduction (max/min) over contiguous k-segments of
+    a packed ``(rows, P*k)`` row -> ``(rows, P)`` via masked lane-shift
+    folding: log2(k) shifted elementwise passes + one extraction matmul.
+    All masks/matrices are numpy constants (nothing staged)."""
+    if prim_name == "reduce_max":
+        ident, op = -np.inf, jnp.maximum
+    else:
+        ident, op = np.inf, jnp.minimum
+    width = pack * k
+    cols = np.arange(width)
+    s = 1
+    while s < k:
+        # shift left by s lanes; positions whose segment has >= s more
+        # entries fold the shifted value in, the rest keep identity.
+        # The mask is a 2D float constant (all kernel-visible constants
+        # stay 2D so they ride VMEM blocks without Mosaic reshapes).
+        shifted = jnp.concatenate(
+            [arr[:, s:], jnp.full((arr.shape[0], s), ident, arr.dtype)],
+            axis=1)
+        valid = (((cols % k) + s < k)
+                 .astype(np.dtype(arr.dtype)).reshape(1, width))
+        arr = op(arr, jnp.where(valid > 0.5, shifted, ident))
+        s *= 2
+    extract = np.zeros((width, pack), np.dtype(arr.dtype))
+    extract[np.arange(pack) * k, np.arange(pack)] = 1.0
+    return jnp.dot(arr, extract, preferred_element_type=arr.dtype)
+
+
+def _eval_packed(jaxpr, consts, args, pack: int, store, path=()):
+    """Interpret ``jaxpr`` with walker-dependent inputs in packed layout.
+
+    ``store`` memoises every constant artifact across calls (see _memo);
+    ``path`` disambiguates eqns inside nested call jaxprs.
+    """
+    env = {}
+
+    def read(v):
+        if isinstance(v, jcore.Literal) or type(v).__name__ == "Literal":
+            return _Const(v.val)
+        return env[v]
+
+    def write(v, val):
+        env[v] = val
+
+    for var, const in zip(jaxpr.constvars, consts):
+        write(var, _Const(const))
+    for var, arg in zip(jaxpr.invars, args):
+        write(var, arg)
+
+    for idx, eqn in enumerate(jaxpr.eqns):
+        invals = [read(v) for v in eqn.invars]
+        name = eqn.primitive.name
+        ek = path + (idx,)
+
+        if all(isinstance(v, _Const) for v in invals):
+            # walker-independent subcomputation: evaluate once at build
+            # time in logical shape; cached as numpy constants
+            def _fold(eqn=eqn, invals=invals):
+                outs = eqn.primitive.bind(
+                    *[v.val for v in invals], **eqn.params)
+                if not eqn.primitive.multiple_results:
+                    outs = [outs]
+                return [_np(o) for o in outs]
+            outs = _memo(store, (ek, "const"), _fold)
+            for ovar, o in zip(eqn.outvars, outs):
+                write(ovar, _Const(o))
+            continue
+
+        if name in _CALLS:
+            sub, sub_consts = _subjaxpr(eqn)
+            outs = _eval_packed(sub, sub_consts, invals[:len(sub.invars)],
+                                pack, store, ek)
+            for ovar, o in zip(eqn.outvars, outs):
+                write(ovar, o)
+            continue
+
+        if name in _ELEMENTWISE:
+            # lax elementwise ops broadcast size-1 dims; align every
+            # operand to the output tail in packed space first
+            out_tail = tuple(eqn.outvars[0].aval.shape)
+            ops = []
+            for i, v in enumerate(invals):
+                if isinstance(v, _Packed):
+                    ops.append(_broadcast_packed(v, out_tail, pack, store,
+                                                 (ek, "bc", i)))
+                else:
+                    ops.append(_memo(
+                        store, (ek, "tile", i),
+                        lambda v=v: _tile_const_np(
+                            np.broadcast_to(_np(v.val), out_tail), pack)))
+            # lax primitives require exactly equal shapes under tracing;
+            # XLA/Mosaic fold the row broadcasts into the consuming op
+            rows = max(op.shape[0] for op in ops)
+            ops = [jnp.broadcast_to(op, (rows,) + op.shape[1:])
+                   for op in ops]
+            out = eqn.primitive.bind(*ops, **eqn.params)
+            write(eqn.outvars[0], _Packed(out, out_tail))
+            continue
+
+        if name in _SEG_REDUCE:
+            (v,) = [x for x in invals if isinstance(x, _Packed)]
+            axes = eqn.params.get("axes", ())
+            if tuple(axes) != tuple(range(len(v.tail))):
+                raise PackedUnsupported(
+                    f"{name} over partial axes {axes} of tail {v.tail}")
+            out = _segment_fold(v.arr, v.k, pack, name)
+            write(eqn.outvars[0], _Packed(out, ()))
+            continue
+
+        if name in _AFFINE:
+            out = _affine_rule(eqn, invals, pack, store, ek)
+            write(eqn.outvars[0], out)
+            continue
+
+        raise PackedUnsupported(f"primitive not supported packed: {name}")
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+def _affine_rule(eqn, invals, pack: int, store, ek) -> _Packed:
+    """Generic affine primitive: materialise the per-operand linear map by
+    basis evaluation (once, at build time, on concrete constants) and apply
+    it as a block-diagonal matmul in the packed layout."""
+    out_aval = eqn.outvars[0].aval
+    out_tail = tuple(out_aval.shape)
+    k_out = int(np.prod(out_tail, dtype=np.int64)) if out_tail else 1
+    name = eqn.primitive.name
+
+    walker_pos = [i for i, v in enumerate(invals) if isinstance(v, _Packed)]
+
+    # dot_general between two walker-dependent operands: only the full
+    # inner product (elementwise mul + segment sum) is supported.
+    if name == "dot_general" and len(walker_pos) == 2:
+        dn = eqn.params["dimension_numbers"]
+        (lc, rc), (lb, rb) = dn
+        a, b = invals
+        if (a.tail == b.tail and tuple(lc) == tuple(range(len(a.tail)))
+                and tuple(rc) == tuple(lc) and not lb and not rb):
+            prod = a.arr * b.arr
+            ones = _memo(store, (ek, "ones"), lambda: _blockdiag_np(
+                np.ones((a.k, 1), np.dtype(prod.dtype)), pack))
+            out = jnp.dot(prod, ones, preferred_element_type=prod.dtype)
+            return _Packed(out, ())
+        raise PackedUnsupported(
+            "dot_general between two walker-dependent operands with "
+            f"dimension_numbers={dn}")
+
+    for i in walker_pos:
+        dt = invals[i].arr.dtype
+        if not jnp.issubdtype(dt, jnp.floating):
+            raise PackedUnsupported(
+                f"affine primitive {name} on non-float walker value {dt}")
+
+    # fast path: pure layout changes with k preserved (row-major reshape
+    # within a walker segment is the identity on the packed row)
+    if name in ("reshape", "squeeze", "expand_dims") and len(walker_pos) == 1:
+        v = invals[walker_pos[0]]
+        if v.k == k_out and (name != "reshape"
+                             or eqn.params.get("dimensions") is None):
+            return _Packed(v.arr, out_tail)
+
+    def _materialise():
+        zeros = {
+            i: jnp.zeros(invals[i].tail,
+                         dtype=invals[i].arr.dtype)
+            for i in walker_pos
+        }
+
+        def h(subs):
+            ops = []
+            for i, v in enumerate(invals):
+                if isinstance(v, _Packed):
+                    ops.append(subs.get(i, zeros[i]))
+                else:
+                    ops.append(jnp.asarray(v.val))
+            return eqn.primitive.bind(*ops, **eqn.params)
+
+        offset = h({})  # out_tail-shaped constant part
+        off_np = _np(offset).reshape(1, k_out)
+        mats = []
+        for i in walker_pos:
+            v = invals[i]
+            basis = jnp.eye(v.k, dtype=v.arr.dtype).reshape(
+                (v.k,) + v.tail)
+            cols = jax.vmap(lambda e, _i=i: h({_i: e}))(basis)
+            m = _np(cols).reshape(v.k, k_out) - off_np
+            mats.append(_blockdiag_np(m, pack))
+        return _tile_const_np(off_np.reshape(out_tail), pack), mats
+
+    offset_tile, mats = _memo(store, (ek, "affine"), _materialise)
+    acc = None
+    for i, b in zip(walker_pos, mats):
+        term = jnp.dot(invals[i].arr, b,
+                       preferred_element_type=invals[i].arr.dtype)
+        acc = term if acc is None else acc + term
+    if np.any(offset_tile):
+        acc = acc + offset_tile
+    return _Packed(acc, out_tail)
+
+
+def pack_for(num_dims: int) -> int:
+    """Walkers per 128-lane row (raises if num_dims does not divide 128)."""
+    if num_dims <= 0 or 128 % num_dims != 0:
+        raise ValueError(
+            f"packed layout needs D | 128; got D={num_dims}. "
+            "Use pad_potential to embed in the next packable dimension.")
+    return 128 // num_dims
+
+
+def next_packable_dim(num_dims: int) -> int:
+    """Smallest D' >= num_dims with D' | 128 (D <= 128 required)."""
+    if num_dims > 128:
+        raise ValueError(f"packed layout requires D <= 128; got {num_dims}")
+    d = num_dims
+    while 128 % d != 0:
+        d += 1
+    return d
+
+
+def pad_potential(potential_fn: Callable, num_dims: int,
+                  padded_dims: Optional[int] = None) -> Callable:
+    """Embed a D-dim target in R^{D'} (D' | 128) by appending independent
+    standard-normal auxiliary coordinates: U'(q') = U(q'[:D]) +
+    0.5 |q'[D:]|^2. The first-D marginals of the padded target are exactly
+    the original posterior; samplers report q'[..., :D].
+
+    The returned potential carries ``orig_dims``/``padded_dims`` attributes
+    and a composed ``analytic_grad`` when the base potential has one.
+    """
+    if padded_dims is None:
+        padded_dims = next_packable_dim(num_dims)
+    if padded_dims < num_dims:
+        raise ValueError("padded_dims < num_dims")
+    if padded_dims == num_dims:
+        return potential_fn
+    d, dp = num_dims, padded_dims
+
+    def padded(q):
+        extra = q[..., d:]
+        return potential_fn(q[..., :d]) + 0.5 * jnp.sum(
+            extra * extra, axis=-1)
+
+    ag = getattr(potential_fn, "analytic_grad", None)
+    if ag is not None:
+        def padded_grad(q):
+            return jnp.concatenate([ag(q[..., :d]), q[..., d:]], axis=-1)
+        padded.analytic_grad = padded_grad  # type: ignore[attr-defined]
+    padded.name = getattr(  # type: ignore[attr-defined]
+        potential_fn, "name", "potential") + f"_pad{dp}"
+    padded.orig_dims = d  # type: ignore[attr-defined]
+    padded.padded_dims = dp  # type: ignore[attr-defined]
+    return padded
+
+
+def packed_value_and_grad(
+    potential_fn: Callable,
+    num_dims: int,
+    *,
+    dtype=jnp.float32,
+    use_analytic: bool = True,
+) -> Callable[[Array], tuple[Array, Array]]:
+    """Build ``qp: [rows, P*D] -> (U: [rows, P], grad: [rows, P*D])`` in the
+    walker-packed layout, P = 128 // D (see module doc).
+
+    Raises :class:`PackedUnsupported` at build time if the potential's
+    jaxpr contains primitives outside the interpreter's coverage, so
+    callers can fall back before compiling anything.
+    """
+    pack = pack_for(num_dims)
+    ag = getattr(potential_fn, "analytic_grad", None)
+    if use_analytic and ag is not None:
+        def fun(q):
+            return potential_fn(q), ag(q)
+    else:
+        def fun(q):
+            return jax.value_and_grad(potential_fn)(q)
+
+    closed = jax.make_jaxpr(fun)(
+        jax.ShapeDtypeStruct((num_dims,), dtype))
+
+    # build-time pass on a concrete probe: surfaces unsupported primitives
+    # as PackedUnsupported here (not mid-compile) AND warms the constant
+    # store so traced replays stage no constant-construction ops (critical
+    # inside Pallas kernels — see _memo)
+    store: dict = {}
+    probe = jnp.zeros((1, pack * num_dims), dtype)
+    _eval_packed(closed.jaxpr, closed.consts, [_Packed(probe, (num_dims,))],
+                 pack, store)
+
+    def packed_vg(qp: Array) -> tuple[Array, Array]:
+        rows = qp.shape[0]
+        outs = _eval_packed(closed.jaxpr, closed.consts,
+                            [_Packed(qp, (num_dims,))], pack, store)
+        u, g = outs
+        u_arr = u.arr if isinstance(u, _Packed) else _tile_const_np(
+            u.val, pack)
+        g_arr = g.arr if isinstance(g, _Packed) else _tile_const_np(
+            g.val, pack)
+        u_arr = jnp.broadcast_to(u_arr, (rows, pack))
+        g_arr = jnp.broadcast_to(g_arr, (rows, pack * num_dims))
+        return u_arr, g_arr
+
+    packed_vg.pack = pack  # type: ignore[attr-defined]
+    packed_vg.num_dims = num_dims  # type: ignore[attr-defined]
+    return packed_vg

@@ -414,6 +414,195 @@ def make_fused_hmc_transition(
 
 
 # ---------------------------------------------------------------------------
+# Packed fused HMC for ARBITRARY potentials (via ops.packed transform)
+# ---------------------------------------------------------------------------
+
+
+def make_fused_hmc_packed(
+    packed_vg,
+    *,
+    num_dims: int,
+    num_steps: int,
+    block_rows: int = 128,
+    divergence_threshold: float = 1000.0,
+):
+    """Fused HMC transition in the walker-packed layout for ANY potential:
+    ``packed_vg`` is a :func:`..ops.packed.packed_value_and_grad` function
+    ``(rows, P*D) -> (U: (rows, P), grad: (rows, P*D))`` — its elementwise
+    ops run at full VPU lane utilisation and its layout matmuls on the MXU,
+    generalising :func:`make_fused_hmc_diag_quadratic` beyond
+    diagonal-quadratic targets (VERDICT.md round-1 item 1). The packed
+    function traces into the kernel through the same jaxpr const-hoisting
+    path as every other potential; its block-diagonal matrices arrive as
+    VMEM-resident constants.
+
+    Returns ``transition(seed, q, u, g, *, step_size, p_std, inv_mass,
+    beta) -> (q', u', g', accept_prob, accepted, energy_error)`` with
+    ``q, g: [W, D]``, ``u: [W]`` — the [W, D] <-> [W/P, P*D] reshape at the
+    boundary is a free row-major bitcast.
+    """
+    pack = 128 // num_dims
+    if 128 % num_dims != 0:
+        raise ValueError(f"packed kernel needs D | 128; got D={num_dims}")
+
+    def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta):
+        w, d = q.shape
+        if d != num_dims:
+            raise ValueError(f"expected D={num_dims}, got {d}")
+        if w % pack != 0:
+            raise ValueError(f"num_walkers {w} not divisible by pack {pack}")
+        rows = w // pack
+        br = _pick_block(rows, block_rows)
+        dtype = q.dtype
+
+        qp = q.reshape(rows, pack * d)
+        gp = g.reshape(rows, pack * d)
+        up = u.reshape(rows, pack)
+        tile = lambda v: jnp.tile(
+            jnp.broadcast_to(jnp.asarray(v, dtype), (d,)), (pack,)
+        ).reshape(1, pack * d)
+        imp = tile(inv_mass)
+        psp = tile(p_std)
+        scalars = jnp.stack([
+            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype)
+        ]).reshape(1, 2)
+        seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1))
+
+        import numpy as _np
+        s_np = _np.zeros((pack * d, pack), _np.float32)
+        for j in range(pack):
+            s_np[j * d:(j + 1) * d, j] = 1.0
+        S = jnp.asarray(s_np, dtype)
+        ST = jnp.asarray(s_np.T, dtype)
+
+        # hoist packed_vg's consts (blockdiag matrices, tiled rows, fold
+        # masks — the ops.packed transform guarantees they are all 2D) into
+        # kernel inputs as genuine 2D VMEM blocks: no in-kernel reshape,
+        # which Mosaic cannot lower for matrix-shaped constants
+        example = jax.ShapeDtypeStruct((br, pack * d), dtype)
+        closed = jax.make_jaxpr(lambda qq: packed_vg(qq))(example)
+        consts = [jnp.asarray(c) for c in closed.consts]
+        for c in consts:
+            if c.ndim != 2:
+                raise ValueError(
+                    f"packed_vg const of rank {c.ndim} (shape {c.shape}); "
+                    "ops.packed must produce only 2D constants")
+        const_inputs = consts
+
+        def kernel(seed_ref, sc_ref, q_ref, u_ref, g_ref, im_ref, ps_ref,
+                   s_ref, st_ref, *rest):
+            const_refs = rest[:len(consts)]
+            (q_out, u_out, g_out, acc_out, taken_out, derr_out) = \
+                rest[len(consts):]
+            cvals = [ref[:] for ref in const_refs]
+
+            def vg(qq):
+                uu, gg = jax.core.eval_jaxpr(closed.jaxpr, cvals, qq)
+                return uu, gg
+
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+            dt = sc_ref[0, 0]
+            beta_v = sc_ref[0, 1]
+            im = im_ref[:]
+            s_mat = s_ref[:]
+            st_mat = st_ref[:]
+            q0 = q_ref[:]
+            u0 = u_ref[:]
+            g0 = g_ref[:]
+
+            bits1 = pltpu.bitcast(
+                pltpu.prng_random_bits(q0.shape), jnp.uint32)
+            bits2 = pltpu.bitcast(
+                pltpu.prng_random_bits(q0.shape), jnp.uint32)
+            p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
+
+            def seg_sum(x):  # (br, pack*d) -> (br, pack)
+                return jnp.dot(x, s_mat, preferred_element_type=dtype)
+
+            h0 = 0.5 * seg_sum(p0 * p0 * im) + u0
+
+            def body(_, carry):
+                q, p, u, g = carry
+                p = p - (0.5 * dt) * g
+                q = q + dt * p * im
+                u, g = vg(q)
+                p = p - (0.5 * dt) * g
+                return (q, p, u, g)
+
+            q1, p1, u1, g1 = jax.lax.fori_loop(
+                0, num_steps, body, (q0, p0, u0, g0))
+            h1 = 0.5 * seg_sum(p1 * p1 * im) + u1
+
+            derr = beta_v * (h1 - h0)               # (br, pack)
+            derr = jnp.where(jnp.isnan(derr), jnp.inf, derr)
+            divergent = derr > divergence_threshold
+
+            bits_u = pltpu.bitcast(
+                pltpu.prng_random_bits(derr.shape), jnp.uint32)
+            log_u = jnp.log(_uniform_from_bits(bits_u))
+            accepted = (log_u < -derr) & ~divergent
+            acc_f = accepted.astype(dtype)
+            accept_prob = jnp.where(
+                divergent, 0.0, jnp.exp(jnp.minimum(0.0, -derr)))
+
+            mask = jnp.dot(acc_f, st_mat, preferred_element_type=dtype)
+            q_out[:] = mask * q1 + (1.0 - mask) * q0
+            g_out[:] = mask * g1 + (1.0 - mask) * g0
+            u_out[:] = acc_f * u1 + (1.0 - acc_f) * u0
+            acc_out[:] = accept_prob
+            taken_out[:] = acc_f
+            derr_out[:] = derr
+
+        grid = (rows // br,)
+        block = lambda i: (i, 0)
+        rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((br, pack * d), block,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack * d), block,
+                             memory_space=pltpu.VMEM),
+                rep((1, pack * d)), rep((1, pack * d)),
+                rep((pack * d, pack)), rep((pack, pack * d)),
+            ] + [rep(ci.shape) for ci in const_inputs],
+            out_specs=[
+                pl.BlockSpec((br, pack * d), block,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack * d), block,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
+                pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, pack * d), dtype),
+                jax.ShapeDtypeStruct((rows, pack), dtype),
+                jax.ShapeDtypeStruct((rows, pack * d), dtype),
+                jax.ShapeDtypeStruct((rows, pack), dtype),
+                jax.ShapeDtypeStruct((rows, pack), dtype),
+                jax.ShapeDtypeStruct((rows, pack), dtype),
+            ],
+            interpret=_use_interpret(),
+        )(seed_arr, scalars, qp, up, gp, imp, psp, S, ST, *const_inputs)
+        q1, u1, g1, acc, taken, derr = out
+        return (q1.reshape(w, d), u1.reshape(w), g1.reshape(w, d),
+                acc.reshape(w), taken.reshape(w) > 0.5, derr.reshape(w))
+
+    transition.num_steps = num_steps  # type: ignore[attr-defined]
+    transition.pack = pack  # type: ignore[attr-defined]
+    return transition
+
+
+# ---------------------------------------------------------------------------
 # Packed fused HMC for diagonal-quadratic targets
 # ---------------------------------------------------------------------------
 
