@@ -29,15 +29,18 @@ unchanged.
 
 from __future__ import annotations
 
-from typing import Callable, Union
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.sharding import Mesh
 
+from .adaptation import da_init, da_update
 from .constants import Constants, NATURAL
 from .hmc import build_hmc_kernel
 from .ops.potentials import batched_value_and_grad
+from .parallel.mesh import WALKER_AXIS
 
 Array = jax.Array
 
@@ -178,7 +181,9 @@ def run_smc(
     resampler: str = "systematic",
     temperature: Union[float, Array] = 1.0,
     constants: Constants = NATURAL,
-    step_size_decay: float = 0.7,
+    mutation_target_accept: float = 0.75,
+    mesh: Optional[Mesh] = None,
+    mesh_axis: str = WALKER_AXIS,
 ) -> SMCResult:
     """Anneal the ensemble from pi_{beta0} (near-flat) to pi_{beta_max}
     (the target) with ESS-adaptive tempering, systematic resampling, and
@@ -188,14 +193,37 @@ def run_smc(
     any broad cloud works — weights at stage 1 correct it).
 
     The whole run is one jitted while_loop over stages; `max_stages`
-    bounds compilation. Step size is annealed geometrically with beta
-    jumps (hotter ensembles take larger steps) — a cheap, SPMD-safe
-    stand-in for per-stage dual averaging.
+    bounds compilation. The mutation step size is adapted by dual
+    averaging on the ensemble-mean mutation acceptance (state is O(1) and
+    lives in the stage carry), targeting ``mutation_target_accept`` — it
+    tracks the narrowing tempered target both down AND up, unlike a decay
+    heuristic.
+
+    When ``mesh`` is given and walkers are sharded over ``mesh_axis``,
+    resampling uses :func:`.parallel.resample.ring_systematic_resample`:
+    per-device memory O(W/K) and K-1 neighbor ppermute hops instead of the
+    dense all-to-all gather (requires ``resampler="systematic"``).
     """
     init_q = jnp.asarray(init_q)
     num_walkers, num_dims = init_q.shape
     dtype = init_q.dtype
     vg = batched_value_and_grad(potential_fn)
+
+    if mesh is not None:
+        if resampler != "systematic":
+            raise ValueError(
+                "sharded SMC (mesh=...) supports only the systematic "
+                f"resampler; got {resampler!r}")
+        from .parallel.resample import ring_systematic_resample
+
+        def do_resample_fn(k_res, q, log_w):
+            q_res, lw0 = ring_systematic_resample(
+                k_res, q, log_w, mesh=mesh, axis_name=mesh_axis)
+            return q_res
+    else:
+        def do_resample_fn(k_res, q, log_w):
+            idx = RESAMPLERS[resampler](k_res, log_w, num_walkers)
+            return jnp.take(q, idx, axis=0)
 
     base_beta = 1.0 / (constants.k_B * temperature)
 
@@ -226,7 +254,7 @@ def run_smc(
             return (beta < beta_max) & (stage < max_stages)
 
         def body(carry):
-            (q, u, beta, log_w, log_z, stage, key, step_size,
+            (q, u, beta, log_w, log_z, stage, key, da,
              betas, ess_h, acc_h) = carry
             key, k_res, k_mut = jax.random.split(key, 3)
 
@@ -243,49 +271,49 @@ def run_smc(
 
             # resample when depleted
             do_resample = ess < resample_threshold_frac * num_walkers
-            idx = RESAMPLERS[resampler](k_res, log_w, num_walkers)
-            q_res = jnp.take(q, idx, axis=0)
+            q_res = do_resample_fn(k_res, q, log_w)
             q = jnp.where(do_resample, q_res, q)
             log_w = jnp.where(do_resample, jnp.zeros_like(log_w), log_w)
 
-            # mutation: K tempered-HMC sweeps
+            # mutation: K tempered-HMC sweeps, each feeding its
+            # ensemble-mean acceptance into the dual-averaging state
+            # (per-stage adaptation, VERDICT.md round-1 item 7)
             def mut(carry, k):
-                q, _ = carry
+                q, da, _ = carry
+                step_size = jnp.exp(da.log_step).astype(dtype)
                 q, acc = tempered_step(k, q, new_beta, step_size)
-                return (q, acc), None
+                da = da_update(da, acc, target=mutation_target_accept)
+                return (q, da, acc), None
 
-            (q, acc), _ = jax.lax.scan(
-                mut, (q, jnp.asarray(0.0, dtype)),
+            (q, da, acc), _ = jax.lax.scan(
+                mut, (q, da, jnp.asarray(0.0, dtype)),
                 jax.random.split(k_mut, num_mutation_steps))
             # unscaled target potential for the next reweighting step
             u, _ = vg(q)
 
-            step_size = step_size * jnp.where(
-                acc < 0.5, step_size_decay, 1.0).astype(dtype)
             betas = betas.at[stage + 1].set(new_beta)
             ess_h = ess_h.at[stage].set(ess)
             acc_h = acc_h.at[stage].set(acc)
             return (q, u, new_beta, log_w, log_z, stage + 1, key,
-                    step_size, betas, ess_h, acc_h)
+                    da, betas, ess_h, acc_h)
 
         betas0 = jnp.full((max_stages + 1,), beta_max, dtype)
         betas0 = betas0.at[0].set(beta0)
         carry = (init_q, u0, jnp.asarray(beta0, dtype),
                  jnp.zeros((num_walkers,), dtype),
                  jnp.asarray(0.0, dtype), jnp.asarray(0),
-                 key, jnp.asarray(init_step_size, dtype),
+                 key, da_init(jnp.asarray(init_step_size, dtype)),
                  betas0, jnp.zeros((max_stages,), dtype),
                  jnp.zeros((max_stages,), dtype))
-        (q, u, beta, log_w, log_z, stage, key, step_size,
+        (q, u, beta, log_w, log_z, stage, key, da,
          betas, ess_h, acc_h) = jax.lax.while_loop(cond, body, carry)
 
         # final resample so the returned ensemble is unweighted
         key, k_final = jax.random.split(key)
-        idx = RESAMPLERS[resampler](k_final, log_w, num_walkers)
-        q = jnp.take(q, idx, axis=0)
+        q = do_resample_fn(k_final, q, log_w)
         return SMCResult(
             q=q, log_evidence=log_z, num_stages=stage, betas=betas,
             ess_history=ess_h, accept_history=acc_h,
-            final_step_size=step_size)
+            final_step_size=jnp.exp(da.log_step).astype(dtype))
 
     return smc(key, init_q)

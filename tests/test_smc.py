@@ -139,3 +139,44 @@ def test_smc_sharded_matches_unsharded_statistically():
                                atol=0.1)
     np.testing.assert_allclose(float(r1.log_evidence),
                                float(r2.log_evidence), atol=0.3)
+
+
+def test_smc_ring_resampler_end_to_end():
+    """run_smc(mesh=...) must use the O(W/K) ring resampler and still
+    recover the target moments + evidence of the dense path (VERDICT.md
+    round-1 item 3: no dense all-to-all when walkers are sharded)."""
+    from physicsbasedbayesianinference_tpu.parallel import mesh as meshmod
+    target = pot.make_standard_normal(3)
+    init_q = jax.random.normal(jax.random.key(7), (2048, 3)) * 3.0
+    mesh = meshmod.make_walker_mesh()
+    init_sharded = jax.device_put(init_q, meshmod.walker_sharding(mesh, 2))
+    kw = dict(beta0=0.1, max_stages=30, num_mutation_steps=3,
+              num_leapfrog_steps=10)
+    r_dense = smc.run_smc(jax.random.key(8), target, init_q, **kw)
+    r_ring = smc.run_smc(jax.random.key(8), target, init_sharded,
+                         mesh=mesh, **kw)
+    np.testing.assert_allclose(float(jnp.var(r_ring.q)), 1.0, atol=0.1)
+    np.testing.assert_allclose(float(r_dense.log_evidence),
+                               float(r_ring.log_evidence), atol=0.3)
+    # the ring path must reject non-systematic resamplers
+    with pytest.raises(ValueError, match="systematic"):
+        smc.run_smc(jax.random.key(9), target, init_sharded, mesh=mesh,
+                    resampler="multinomial", **kw)
+
+
+def test_smc_mutation_dual_averaging_tracks_target():
+    """Late (cold) stages must keep mutation acceptance near the DA
+    target on a hard curved target — the failure mode of the old one-way
+    decay heuristic (VERDICT.md round-1 item 7)."""
+    target = pot.make_funnel(6)
+    init_q = jax.random.normal(jax.random.key(10), (1024, 6)) * 3.0
+    res = smc.run_smc(jax.random.key(11), target, init_q,
+                      beta0=0.05, max_stages=40, num_mutation_steps=5,
+                      init_step_size=2.0,  # deliberately far too large
+                      mutation_target_accept=0.75)
+    n = int(res.num_stages)
+    acc = np.asarray(res.accept_history)[:n]
+    # final stages adapted to within a reasonable band of the target
+    assert acc[-3:].mean() > 0.5, acc
+    assert acc[-3:].mean() < 0.98, acc
+    assert float(res.final_step_size) < 2.0
