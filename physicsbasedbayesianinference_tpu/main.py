@@ -72,7 +72,13 @@ def build_potential(cfg: RunConfig):
             raise ValueError(
                 f"unknown example {name!r}; have {sorted(EXAMPLE_MODELS)}")
         data = _load_data(cfg.data_path)
-        # integer-valued metadata (e.g. eight_schools J) stays python
+        # integer-valued metadata (e.g. eight_schools J) stays python.
+        # Data files may carry extra keys the model does not take (the
+        # reference's CoinToss.data.json records the true biases p1/p2 for
+        # error reporting) — pass only what the model signature accepts.
+        import inspect
+        params = inspect.signature(EXAMPLE_MODELS[name]).parameters
+        data = {k: v for k, v in data.items() if k in params}
         mp = make_model_potential(EXAMPLE_MODELS[name], (), data)
         return mp.potential, mp.init, mp.constrain_samples
     if kind == "numpyro":

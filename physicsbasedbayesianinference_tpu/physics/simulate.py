@@ -182,13 +182,19 @@ def simulate_adaptive(
     dt from the chosen criterion, clipped to not overshoot final_time.
     Static ``max_steps`` bounds the output buffer; ``num_valid`` reports how
     many entries are real. Saves every accepted step."""
-    step_fn = phyint.get_physics_integrator(method)
-    if method in phyint.NEEDS_JERK:
-        raise ValueError("adaptive driver supports non-Hermite methods; "
-                         "use criterion-specific Hermite via simulate()")
+    raw_step = phyint.get_physics_integrator(method)
     crit = {"simple": adaptive_dt_simple,
             "advanced": adaptive_dt_advanced}[criterion]
     accel = lambda x: _accel_of(system, x, constants, softening)
+    if method in phyint.NEEDS_JERK:
+        # adaptive Hermite (reference ``IntegrateHIA``,
+        # samples/NBody/Integrators.py:320-350): the jerk the step needs is
+        # the same quantity the dt criteria already evaluate
+        jerk_fn = lambda x, v: jerk(
+            x, v, system.mass, constants=constants, softening=softening)
+        step_fn = lambda a, x, v, dt: raw_step(a, jerk_fn, x, v, dt)
+    else:
+        step_fn = raw_step
     dtype = system.x.dtype
     final_time = jnp.asarray(final_time, dtype=dtype)
 

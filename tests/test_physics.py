@@ -215,6 +215,35 @@ def test_adaptive_advanced_criterion_positive():
     assert float(dt) > 0.0
 
 
+def test_adaptive_hermite_reaches_final_time_and_conserves():
+    """Adaptive-dt Hermite (reference ``IntegrateHIA``, samples/NBody/
+    Integrators.py:320-350): the jerk-needing scheme under both adaptive
+    criteria must reach final_time with energy drift no worse than the
+    fixed-step Hermite at the same dt0."""
+    sys_, const = _kepler()
+    for criterion in ("simple", "advanced"):
+        traj = physics.simulate_lib.simulate_adaptive(
+            sys_, 0.05, 6.28, method="hermite", criterion=criterion,
+            max_steps=5000, constants=const)
+        nv = int(traj.num_valid)
+        assert 0 < nv < 5000, criterion
+        np.testing.assert_allclose(float(traj.final.time), 6.28, rtol=1e-6)
+        drift = float(physics.energy_drift(traj)[nv - 1])
+        assert drift < 1e-3, (criterion, drift)
+
+    fixed = physics.simulate_lib.simulate(
+        sys_, 0.05, num_steps=126, method="hermite", constants=const)
+    nfv = int(fixed.num_valid)
+    drift_fixed = float(physics.energy_drift(fixed)[nfv - 1])
+    adaptive = physics.simulate_lib.simulate_adaptive(
+        sys_, 0.05, 6.28, method="hermite", criterion="simple",
+        max_steps=5000, constants=const)
+    nav = int(adaptive.num_valid)
+    drift_adaptive = float(physics.energy_drift(adaptive)[nav - 1])
+    # adaptive shrinks dt near pericentre: at least as accurate
+    assert drift_adaptive <= drift_fixed * 2.0
+
+
 # ---------------------------------------------------------------------------
 # IC format round-trip (reference MiscFunctions.ReadInput)
 # ---------------------------------------------------------------------------
