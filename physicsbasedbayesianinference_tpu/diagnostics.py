@@ -51,15 +51,28 @@ def autocorrelation(x: Array, max_lag: Optional[int] = None) -> Array:
     return (acov / acov[0])[:max_lag]
 
 
-def effective_sample_size(samples: Array, max_lag: int = 128) -> Array:
+def effective_sample_size(samples: Array,
+                          max_lag: Optional[int] = None) -> Array:
     """ESS per dimension from [T, W, D] samples: walker-averaged
-    autocorrelations (the many-chain estimator), initial-positive-sequence
-    truncation, tau = 1 + 2 sum rho_k, ESS = T*W / tau."""
+    autocorrelations (the many-chain estimator) with Geyer (1992)
+    initial-monotone truncation.
+
+    Lag pairs Gamma_m = rho_{2m} + rho_{2m+1} are (a) truncated at the
+    first non-positive pair (initial positive sequence) and (b) clamped to
+    be non-increasing (initial monotone) — so tau adapts to however slowly
+    the chain mixes instead of being cut at a fixed window (a fixed
+    ``max_lag`` truncates tau and OVERestimates ESS for slow chains).
+    ``max_lag=None`` uses every available lag; the FFT makes that free.
+    tau = -1 + 2 sum_m Gamma_m (rho_0 = 1 included), ESS = T*W / tau.
+    """
     t, w = samples.shape[0], samples.shape[1]
     rho = jnp.mean(autocorrelation(samples, max_lag), axis=1)  # [L, D]
-    rho = rho[1:]
-    positive = jnp.cumprod(rho > 0.0, axis=0) > 0
-    tau = 1.0 + 2.0 * jnp.sum(jnp.where(positive, rho, 0.0), axis=0)
+    num_pairs = rho.shape[0] // 2
+    gamma = rho[0:2 * num_pairs:2] + rho[1:2 * num_pairs:2]   # [m, D]
+    positive = jnp.cumprod(gamma > 0.0, axis=0) > 0
+    gamma = jnp.where(positive, gamma, 0.0)
+    gamma = jax.lax.associative_scan(jnp.minimum, gamma, axis=0)
+    tau = -1.0 + 2.0 * jnp.sum(jnp.maximum(gamma, 0.0), axis=0)
     tau = jnp.maximum(tau, 1.0 / (t * w))
     return t * w / tau
 

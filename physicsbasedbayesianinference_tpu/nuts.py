@@ -35,8 +35,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .adaptation import da_init, da_update, variance_init, variance_update, \
-    regularized_mass
+from .adaptation import build_warmup_schedule, da_init, da_update, \
+    variance_init, variance_update, regularized_mass
 from .constants import Constants, NATURAL
 from .ensemble import EnsembleState, kinetic_energy, thermal_momentum_std
 from .hmc import HMCState
@@ -353,18 +353,18 @@ def run_nuts(
             varst = variance_update(varst, new_st.ensemble.q)
             return (new_st, da, varst), None
 
-        half = num_warmup // 2
-        segments = [seg for seg in (half, num_warmup - half) if seg > 0]
-        for idx, seg_len in enumerate(segments):
+        # the same Stan-like expanding-window schedule HMC warmup uses
+        # (adaptation.build_warmup_schedule) — one schedule across samplers
+        segments = build_warmup_schedule(num_warmup, adapt_mass=adapt_mass)
+        warm_scan = jax.jit(lambda c, k: jax.lax.scan(warm_body, c, k))
+        for seg in segments:
             da = da_init(step_size)
             varst = variance_init(num_dims, dtype)
             keys = jax.random.split(
-                jax.random.fold_in(warm_key, idx), seg_len)
-            (state, da, varst), _ = jax.jit(
-                lambda c, k: jax.lax.scan(warm_body, c, k))(
-                (state, da, varst), keys)
+                jax.random.fold_in(warm_key, seg.index), seg.length)
+            (state, da, varst), _ = warm_scan((state, da, varst), keys)
             step_size = jnp.exp(da.log_avg_step)
-            if adapt_mass and idx == 0 and len(segments) > 1:
+            if seg.update_mass and adapt_mass:
                 var = regularized_mass(varst)
                 mass_arr = 1.0 / var
                 state = state.replace(

@@ -180,3 +180,21 @@ def test_cli_run_example_coin_toss(tmp_path):
     means = summary["constrained_means"]
     assert abs(means["p1"] - 0.5) < 0.05
     assert abs(means["p2"] - 16 / 22) < 0.06
+
+
+def test_ess_geyer_adaptive_lag_slow_chain():
+    """A chain mixing slower than any fixed window must not have its tau
+    truncated: AR(1) with phi=0.995 has tau = (1+phi)/(1-phi) ~ 400; the
+    old fixed max_lag=128 estimator reported ~3x too much ESS."""
+    import numpy as onp
+    rng = onp.random.RandomState(0)
+    t, w = 8192, 4
+    phi = 0.995
+    x = onp.zeros((t, w, 1), onp.float32)
+    eps = rng.randn(t, w, 1).astype(onp.float32)
+    for i in range(1, t):
+        x[i] = phi * x[i - 1] + eps[i] * onp.sqrt(1 - phi * phi)
+    ess = float(diag.effective_sample_size(jnp.asarray(x))[0])
+    tau_true = (1 + phi) / (1 - phi)
+    ess_true = t * w / tau_true
+    assert 0.5 * ess_true < ess < 2.0 * ess_true, (ess, ess_true)
