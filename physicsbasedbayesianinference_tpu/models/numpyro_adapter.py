@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 
 try:  # pragma: no cover - exercised only when numpyro is installed
@@ -60,9 +61,13 @@ class NumpyroModelPotential:
         self.potential = potential
 
     def unflatten(self, q: Array) -> dict:
-        """[..., D] unconstrained -> named constrained params."""
+        """[..., D] unconstrained -> named constrained params.
+
+        With ``dynamic_args=False`` NumPyro's ``postprocess_fn`` is the
+        constrain function itself (``constrain_fn(params)``), not a
+        factory."""
         unc = q.reshape(-1, self.num_dims)
-        out = jax.vmap(lambda v: self._postprocess()(self._unravel(v)))(unc)
+        out = jax.vmap(lambda v: self._postprocess(self._unravel(v)))(unc)
         return jax.tree_util.tree_map(
             lambda x: x.reshape(q.shape[:-1] + x.shape[1:]), out)
 
