@@ -8,8 +8,10 @@ __all__ = ["trees", "plotting", "ravel_ensemble", "tree_bytes",
 
 
 def __getattr__(name):
-    # matplotlib-dependent module loads lazily
+    # matplotlib-dependent module loads lazily (importlib, not
+    # ``from . import`` — the latter re-enters this __getattr__ through
+    # _handle_fromlist and recurses)
     if name == "plotting":
-        from . import plotting
-        return plotting
+        import importlib
+        return importlib.import_module(".plotting", __name__)
     raise AttributeError(name)
