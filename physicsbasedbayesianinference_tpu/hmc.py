@@ -368,7 +368,7 @@ def build_fused_hmc_kernel(
     per-dim metric qualifies); potential must be jax-traceable (all
     builtins and model potentials are).
     """
-    from .ops.packed import PackedUnsupported, packed_value_and_grad
+    from .ops.packed import PackedUnsupported
     from .ops.pallas_kernels import (
         _use_interpret,
         make_fused_hmc_diag_quadratic,
@@ -403,9 +403,9 @@ def build_fused_hmc_kernel(
             trans = None
             if 128 % num_dims == 0:
                 try:
-                    pvg = packed_value_and_grad(potential_fn, num_dims)
                     trans = make_fused_hmc_packed(
-                        pvg, num_dims=num_dims, num_steps=num_steps,
+                        potential_fn, num_dims=num_dims,
+                        num_steps=num_steps,
                         divergence_threshold=divergence_threshold)
                 except PackedUnsupported:
                     trans = None

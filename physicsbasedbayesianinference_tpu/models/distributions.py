@@ -150,29 +150,35 @@ class Uniform(Distribution):
     """Reference CoinToss.py:19-20: ``theta = sample("p1", Uniform(0, 1))``.
 
     Not a frozen dataclass because ``support`` depends on the bounds
-    (must be static floats — they define the unconstrained bijection).
+    (they define the unconstrained bijection). Bounds may be scalars or
+    arrays (e.g. per-plate-site bounds); arrays broadcast elementwise
+    through the interval bijection and its Jacobian.
     """
 
     event_dim = 0
 
     def __init__(self, lo=0.0, hi=1.0):
-        self.lo = float(lo)
-        self.hi = float(hi)
+        self.lo = jnp.asarray(lo) if jnp.ndim(lo) else float(lo)
+        self.hi = jnp.asarray(hi) if jnp.ndim(hi) else float(hi)
         self.support = tfm.IntervalTransform(self.lo, self.hi)
 
     @property
     def batch_shape(self):
-        return ()
+        return _bshape(self.lo, self.hi)
 
     def log_prob(self, value):
         value = jnp.asarray(value)
         in_support = (value >= self.lo) & (value <= self.hi)
-        lp = jnp.full_like(value, -jnp.log(self.hi - self.lo),
-                           dtype=jnp.result_type(float, value))
+        lp = jnp.broadcast_to(
+            -jnp.log(jnp.asarray(self.hi, jnp.result_type(float, value))
+                     - self.lo),
+            jnp.broadcast_shapes(jnp.shape(value), self.batch_shape))
         return jnp.where(in_support, lp, -jnp.inf)
 
     def sample(self, key, shape=()):
-        return jax.random.uniform(key, shape, minval=self.lo, maxval=self.hi)
+        shape = jnp.broadcast_shapes(shape, self.batch_shape)
+        u = jax.random.uniform(key, shape)
+        return self.lo + (self.hi - self.lo) * u
 
 
 @dataclasses.dataclass(frozen=True)

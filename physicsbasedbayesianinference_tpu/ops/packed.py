@@ -456,31 +456,51 @@ def pad_potential(potential_fn: Callable, num_dims: int,
     return padded
 
 
-def packed_value_and_grad(
-    potential_fn: Callable,
+def _dce(closed):
+    """Drop equations whose outputs are unused (``make_jaxpr`` keeps dead
+    code — tracing ``lambda q: vg(q)[1]`` still records the value's
+    reductions, and a dead reduction is a whole blockdiag matmul per
+    leapfrog step in the packed layout). Conservative backward sweep;
+    primitives here are effect-free."""
+    jaxpr = closed.jaxpr
+    live = set(jaxpr.outvars)
+    kept = []
+    for eqn in reversed(jaxpr.eqns):
+        if any(v in live for v in eqn.outvars):
+            kept.append(eqn)
+            for v in eqn.invars:
+                if not (isinstance(v, jcore.Literal)
+                        or type(v).__name__ == "Literal"):
+                    live.add(v)
+    kept.reverse()
+    const_pairs = [(var, c) for var, c in zip(jaxpr.constvars, closed.consts)
+                   if var in live]
+    new_jaxpr = jaxpr.replace(
+        eqns=kept, constvars=[v for v, _ in const_pairs])
+    return jcore.ClosedJaxpr(new_jaxpr, [c for _, c in const_pairs])
+
+
+def packed_transform(
+    fun: Callable,
     num_dims: int,
     *,
     dtype=jnp.float32,
-    use_analytic: bool = True,
-) -> Callable[[Array], tuple[Array, Array]]:
-    """Build ``qp: [rows, P*D] -> (U: [rows, P], grad: [rows, P*D])`` in the
-    walker-packed layout, P = 128 // D (see module doc).
+) -> Callable:
+    """Packed-layout transform of an arbitrary per-walker function
+    ``q: [D] -> tuple of per-walker arrays``: returns
+    ``qp: [rows, P*D] -> tuple of [rows, P*k_i]`` with P = 128 // D.
 
-    Raises :class:`PackedUnsupported` at build time if the potential's
+    Raises :class:`PackedUnsupported` at build time if the function's
     jaxpr contains primitives outside the interpreter's coverage, so
     callers can fall back before compiling anything.
     """
     pack = pack_for(num_dims)
-    ag = getattr(potential_fn, "analytic_grad", None)
-    if use_analytic and ag is not None:
-        def fun(q):
-            return potential_fn(q), ag(q)
-    else:
-        def fun(q):
-            return jax.value_and_grad(potential_fn)(q)
-
     closed = jax.make_jaxpr(fun)(
         jax.ShapeDtypeStruct((num_dims,), dtype))
+    closed = _dce(closed)
+    out_tails = [tuple(v.aval.shape) for v in closed.jaxpr.outvars]
+    out_ks = [int(np.prod(t, dtype=np.int64)) if t else 1
+              for t in out_tails]
 
     # build-time pass on a concrete probe: surfaces unsupported primitives
     # as PackedUnsupported here (not mid-compile) AND warms the constant
@@ -491,19 +511,80 @@ def packed_value_and_grad(
     _eval_packed(closed.jaxpr, closed.consts, [_Packed(probe, (num_dims,))],
                  pack, store)
 
-    def packed_vg(qp: Array) -> tuple[Array, Array]:
+    def packed_fun(qp: Array):
         rows = qp.shape[0]
         outs = _eval_packed(closed.jaxpr, closed.consts,
                             [_Packed(qp, (num_dims,))], pack, store)
-        u, g = outs
-        u_arr = u.arr if isinstance(u, _Packed) else _tile_const_np(
-            u.val, pack)
-        g_arr = g.arr if isinstance(g, _Packed) else _tile_const_np(
-            g.val, pack)
-        u_arr = jnp.broadcast_to(u_arr, (rows, pack))
-        g_arr = jnp.broadcast_to(g_arr, (rows, pack * num_dims))
-        return u_arr, g_arr
+        result = []
+        for o, k in zip(outs, out_ks):
+            arr = o.arr if isinstance(o, _Packed) else _tile_const_np(
+                o.val, pack)
+            result.append(jnp.broadcast_to(arr, (rows, pack * k)))
+        return tuple(result)
 
-    packed_vg.pack = pack  # type: ignore[attr-defined]
-    packed_vg.num_dims = num_dims  # type: ignore[attr-defined]
-    return packed_vg
+    packed_fun.pack = pack  # type: ignore[attr-defined]
+    packed_fun.num_dims = num_dims  # type: ignore[attr-defined]
+    return packed_fun
+
+
+def _vg_fun(potential_fn: Callable, use_analytic: bool) -> Callable:
+    ag = getattr(potential_fn, "analytic_grad", None)
+    if use_analytic and ag is not None:
+        def fun(q):
+            return potential_fn(q), ag(q)
+        return fun
+    return lambda q: jax.value_and_grad(potential_fn)(q)
+
+
+def packed_value_and_grad(
+    potential_fn: Callable,
+    num_dims: int,
+    *,
+    dtype=jnp.float32,
+    use_analytic: bool = True,
+) -> Callable[[Array], tuple[Array, Array]]:
+    """``qp: [rows, P*D] -> (U: [rows, P], grad: [rows, P*D])`` in the
+    walker-packed layout (see module doc and :func:`packed_transform`)."""
+    fun = _vg_fun(potential_fn, use_analytic)
+    return packed_transform(fun, num_dims, dtype=dtype)
+
+
+def packed_grad(
+    potential_fn: Callable,
+    num_dims: int,
+    *,
+    dtype=jnp.float32,
+    use_analytic: bool = True,
+) -> Callable[[Array], Array]:
+    """Gradient-only packed evaluation: tracing only ``grad`` lets jax DCE
+    the potential VALUE's final reductions out of the jaxpr — inside the
+    fused trajectory loop the value is dead weight (it is only needed at
+    the trajectory endpoints), and for packed layouts each dead reduction
+    is a whole blockdiag matmul per leapfrog step."""
+    fun = _vg_fun(potential_fn, use_analytic)
+    pf = packed_transform(lambda q: (fun(q)[1],), num_dims, dtype=dtype)
+
+    def grad_only(qp: Array) -> Array:
+        return pf(qp)[0]
+
+    grad_only.pack = pf.pack  # type: ignore[attr-defined]
+    grad_only.num_dims = num_dims  # type: ignore[attr-defined]
+    return grad_only
+
+
+def packed_value(
+    potential_fn: Callable,
+    num_dims: int,
+    *,
+    dtype=jnp.float32,
+) -> Callable[[Array], Array]:
+    """Value-only packed evaluation (trajectory endpoints)."""
+    pf = packed_transform(lambda q: (potential_fn(q),), num_dims,
+                          dtype=dtype)
+
+    def value_only(qp: Array) -> Array:
+        return pf(qp)[0]
+
+    value_only.pack = pf.pack  # type: ignore[attr-defined]
+    value_only.num_dims = num_dims  # type: ignore[attr-defined]
+    return value_only

@@ -419,31 +419,43 @@ def make_fused_hmc_transition(
 
 
 def make_fused_hmc_packed(
-    packed_vg,
+    potential_fn,
     *,
     num_dims: int,
     num_steps: int,
     block_rows: int = 128,
     divergence_threshold: float = 1000.0,
+    use_analytic: bool = True,
 ):
-    """Fused HMC transition in the walker-packed layout for ANY potential:
-    ``packed_vg`` is a :func:`..ops.packed.packed_value_and_grad` function
-    ``(rows, P*D) -> (U: (rows, P), grad: (rows, P*D))`` — its elementwise
-    ops run at full VPU lane utilisation and its layout matmuls on the MXU,
+    """Fused HMC transition in the walker-packed layout for ANY potential
+    (via the :mod:`..ops.packed` jaxpr transform): elementwise force ops
+    run at full VPU lane utilisation and layout bookkeeping rides the MXU,
     generalising :func:`make_fused_hmc_diag_quadratic` beyond
     diagonal-quadratic targets (VERDICT.md round-1 item 1). The packed
-    function traces into the kernel through the same jaxpr const-hoisting
-    path as every other potential; its block-diagonal matrices arrive as
+    functions trace into the kernel through the same jaxpr const-hoisting
+    path as every other potential; their block-diagonal matrices arrive as
     VMEM-resident constants.
+
+    The trajectory loop evaluates a gradient-ONLY packed jaxpr (the
+    potential value's final reductions are dead inside the loop and jax
+    DCEs them away — for packed layouts each is a whole blockdiag matmul
+    per step); the value is computed once at the trajectory endpoint.
+
+    Raises :class:`..ops.packed.PackedUnsupported` at build time when the
+    potential is outside the packed interpreter's coverage.
 
     Returns ``transition(seed, q, u, g, *, step_size, p_std, inv_mass,
     beta) -> (q', u', g', accept_prob, accepted, energy_error)`` with
     ``q, g: [W, D]``, ``u: [W]`` — the [W, D] <-> [W/P, P*D] reshape at the
     boundary is a free row-major bitcast.
     """
+    from .packed import packed_grad, packed_value
+
     pack = 128 // num_dims
     if 128 % num_dims != 0:
         raise ValueError(f"packed kernel needs D | 128; got D={num_dims}")
+    pgrad = packed_grad(potential_fn, num_dims, use_analytic=use_analytic)
+    pvalue = packed_value(potential_fn, num_dims)
 
     def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta):
         w, d = q.shape
@@ -475,17 +487,20 @@ def make_fused_hmc_packed(
         S = jnp.asarray(s_np, dtype)
         ST = jnp.asarray(s_np.T, dtype)
 
-        # hoist packed_vg's consts (blockdiag matrices, tiled rows, fold
-        # masks — the ops.packed transform guarantees they are all 2D) into
-        # kernel inputs as genuine 2D VMEM blocks: no in-kernel reshape,
-        # which Mosaic cannot lower for matrix-shaped constants
+        # hoist both packed jaxprs' consts (blockdiag matrices, tiled rows,
+        # fold masks — the ops.packed transform guarantees they are all 2D)
+        # into kernel inputs as genuine 2D VMEM blocks: no in-kernel
+        # reshape, which Mosaic cannot lower for matrix-shaped constants
         example = jax.ShapeDtypeStruct((br, pack * d), dtype)
-        closed = jax.make_jaxpr(lambda qq: packed_vg(qq))(example)
-        consts = [jnp.asarray(c) for c in closed.consts]
+        closed_g = jax.make_jaxpr(lambda qq: pgrad(qq))(example)
+        closed_u = jax.make_jaxpr(lambda qq: pvalue(qq))(example)
+        consts = [jnp.asarray(c)
+                  for c in list(closed_g.consts) + list(closed_u.consts)]
+        ng = len(closed_g.consts)
         for c in consts:
             if c.ndim != 2:
                 raise ValueError(
-                    f"packed_vg const of rank {c.ndim} (shape {c.shape}); "
+                    f"packed const of rank {c.ndim} (shape {c.shape}); "
                     "ops.packed must produce only 2D constants")
         const_inputs = consts
 
@@ -496,9 +511,15 @@ def make_fused_hmc_packed(
                 rest[len(consts):]
             cvals = [ref[:] for ref in const_refs]
 
-            def vg(qq):
-                uu, gg = jax.core.eval_jaxpr(closed.jaxpr, cvals, qq)
-                return uu, gg
+            def grad_fn(qq):
+                (gg,) = jax.core.eval_jaxpr(
+                    closed_g.jaxpr, cvals[:ng], qq)
+                return gg
+
+            def value_fn(qq):
+                (uu,) = jax.core.eval_jaxpr(
+                    closed_u.jaxpr, cvals[ng:], qq)
+                return uu
 
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
             dt = sc_ref[0, 0]
@@ -522,15 +543,16 @@ def make_fused_hmc_packed(
             h0 = 0.5 * seg_sum(p0 * p0 * im) + u0
 
             def body(_, carry):
-                q, p, u, g = carry
+                q, p, g = carry
                 p = p - (0.5 * dt) * g
                 q = q + dt * p * im
-                u, g = vg(q)
+                g = grad_fn(q)
                 p = p - (0.5 * dt) * g
-                return (q, p, u, g)
+                return (q, p, g)
 
-            q1, p1, u1, g1 = jax.lax.fori_loop(
-                0, num_steps, body, (q0, p0, u0, g0))
+            q1, p1, g1 = jax.lax.fori_loop(
+                0, num_steps, body, (q0, p0, g0))
+            u1 = value_fn(q1)
             h1 = 0.5 * seg_sum(p1 * p1 * im) + u1
 
             derr = beta_v * (h1 - h0)               # (br, pack)

@@ -265,3 +265,50 @@ def test_logistic_regression_recovers_weights():
     w_mean = jnp.mean(cons["w"], axis=(0, 1))
     np.testing.assert_allclose(np.asarray(w_mean), np.asarray(true_w),
                                atol=0.5)
+
+
+def test_uniform_array_bounds():
+    """Array-valued Uniform bounds per plate site (VERDICT.md round-1 weak
+    item 9): each site gets its own interval bijection elementwise."""
+    lo = jnp.asarray([0.0, 1.0, -2.0])
+    hi = jnp.asarray([1.0, 3.0, 2.0])
+    d = dist.Uniform(lo, hi)
+    assert d.batch_shape == (3,)
+    x = jnp.asarray([0.5, 2.0, 0.0])
+    lp = d.log_prob(x)
+    np.testing.assert_allclose(
+        np.asarray(lp), -np.log(np.asarray(hi - lo)), rtol=1e-6)
+    assert bool(jnp.isneginf(d.log_prob(jnp.asarray([2.0, 2.0, 0.0]))[0]))
+    # bijection round-trip elementwise
+    y = d.support.forward(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(lo + 0.5 * (hi - lo)), rtol=1e-6)
+    s = d.sample(jax.random.key(0), (100, 3))
+    assert bool(jnp.all((s >= lo) & (s <= hi)))
+
+
+def test_uniform_array_bounds_in_model():
+    """A plated model with per-site Uniform bounds must produce a finite
+    potential and correctly constrained samples."""
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+
+    lo = jnp.asarray([0.0, 10.0])
+    hi = jnp.asarray([1.0, 20.0])
+
+    from physicsbasedbayesianinference_tpu.models.core import (
+        plate, sample)
+
+    def model():
+        with plate("sites", 2):
+            r = sample("rate", dist.Uniform(lo, hi))
+            sample("obs", dist.Normal(r, 1.0),
+                   obs=jnp.asarray([0.5, 15.0]))
+
+    mp = make_model_potential(model, (), {})
+    assert mp.num_dims == 2
+    q = jax.random.normal(jax.random.key(0), (16, mp.num_dims))
+    u = jax.vmap(mp.potential)(q)
+    assert bool(jnp.all(jnp.isfinite(u)))
+    cons = mp.unflatten(q)["rate"]
+    assert bool(jnp.all((cons >= lo) & (cons <= hi)))
