@@ -143,7 +143,34 @@ def main():
             "baseline_grad_evals_per_sec": REF_GRAD_EVALS_PER_SEC,
         },
     }
+    result["detail"]["models"] = model_benches()
     print(json.dumps(result))
+
+
+def model_benches():
+    """Real-model fused-kernel throughput (VERDICT.md round-1 item 1):
+    each case in its own subprocess (benchmarks/model_bench.py) so a
+    tunnel hang or per-case compile failure cannot take down the headline
+    measurement above. Returns {target: {kind: transitions/s}}."""
+    import os
+    import subprocess
+    import sys as _sys
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "model_bench.py")
+    out: dict = {}
+    for target in ("funnel_16", "eight_schools_nc_p16", "logreg_32_n256"):
+        for kind in ("generic", "packed"):
+            try:
+                r = subprocess.run(
+                    [_sys.executable, script, target, kind],
+                    capture_output=True, text=True, timeout=300)
+                line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
+                row = json.loads(line)
+                out.setdefault(target, {})[kind] = round(
+                    row["transitions_per_sec"])
+            except Exception:
+                out.setdefault(target, {})[kind] = None
+    return out
 
 
 if __name__ == "__main__":

