@@ -151,19 +151,30 @@ def model_benches():
     """Real-model fused-kernel throughput (VERDICT.md round-1 item 1):
     each case in its own subprocess (benchmarks/model_bench.py) so a
     tunnel hang or per-case compile failure cannot take down the headline
-    measurement above. Returns {target: {kind: transitions/s}}."""
+    measurement above. A GLOBAL wall budget (default 900 s, env
+    BENCH_MODEL_BUDGET_S) bounds the whole sweep — pallas compiles are
+    slow on this 2-CPU host, and the headline JSON must always print —
+    so late cases are skipped (null) once the budget is spent.
+    Returns {target: {kind: transitions/s}}."""
     import os
     import subprocess
     import sys as _sys
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "model_bench.py")
+    budget = float(os.environ.get("BENCH_MODEL_BUDGET_S", "900"))
+    deadline = time.time() + budget
     out: dict = {}
     for target in ("funnel_16", "eight_schools_nc_p16", "logreg_32_n256"):
         for kind in ("generic", "packed"):
+            remaining = deadline - time.time()
+            if remaining < 30.0:
+                out.setdefault(target, {})[kind] = None
+                continue
             try:
                 r = subprocess.run(
                     [_sys.executable, script, target, kind],
-                    capture_output=True, text=True, timeout=300)
+                    capture_output=True, text=True,
+                    timeout=min(300.0, remaining))
                 line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
                 row = json.loads(line)
                 out.setdefault(target, {})[kind] = round(

@@ -41,6 +41,8 @@ class Site:
     value: Any
     is_observed: bool
     log_prob: Optional[Array] = None
+    scale: float = 1.0  # plate-subsampling likelihood rescale (prod over
+    #                     active plates of size/subsample_size)
 
 
 class _Handler:
@@ -108,23 +110,90 @@ class trace(_Handler):
 class _Plate:
     name: str
     size: int
+    dim: int                       # negative, NumPyro convention
+    subsample_size: int            # == size when not subsampling
+    idx: Any                       # [subsample_size] int indices into 0..size
 
 
 @contextlib.contextmanager
-def plate(name: str, size: int):
+def plate(name: str, size: int, subsample_size: Optional[int] = None,
+          dim: Optional[int] = None, key: Optional[Array] = None):
     """Conditionally-independent batch dimension (reference
-    eight_schools.py:8: ``with plate("J", J):``). Sample statements inside
-    draw ``size`` independent copies (broadcast into the batch shape)."""
-    _PLATE_STACK.append(_Plate(name, int(size)))
+    eight_schools.py:8: ``with plate("J", J):``).
+
+    NumPyro-compatible semantics:
+
+    * ``dim`` is the (negative) batch axis this plate controls. When
+      omitted it is allocated NumPyro-style — the rightmost dim not
+      occupied by an enclosing plate — so nested plates index distinct
+      axes and samples inside ``plate(a) > plate(b)`` have shape
+      ``(size_b, size_a)``.
+    * ``subsample_size`` enables minibatch subsampling: the block yields
+      a ``[subsample_size]`` index array (use it to slice observed
+      data), sample statements inside draw ``subsample_size`` copies
+      along ``dim``, and their log probabilities are rescaled by
+      ``size / subsample_size`` so the joint density is an unbiased
+      estimate of the full-data density. Indices come from ``key`` if
+      given, else from an enclosing :class:`seed` handler.
+
+    Yields the subsample index array (``arange(size)`` when not
+    subsampling); ``with plate(...):`` without ``as`` keeps working.
+    """
+    size = int(size)
+    if dim is None:
+        used = {p.dim for p in _PLATE_STACK}
+        dim = -1
+        while dim in used:
+            dim -= 1
+    else:
+        dim = int(dim)
+        if dim >= 0:
+            raise ValueError(f"plate dim must be negative, got {dim}")
+        if any(p.dim == dim for p in _PLATE_STACK):
+            raise ValueError(
+                f"plate {name!r}: dim {dim} already taken by an enclosing "
+                f"plate")
+    if subsample_size is None or int(subsample_size) >= size:
+        sub, idx = size, jnp.arange(size)
+    else:
+        sub = int(subsample_size)
+        if key is None:
+            for handler in reversed(_HANDLER_STACK):
+                if isinstance(handler, seed):
+                    key = jax.random.fold_in(
+                        handler.key, hash(name) & 0x7FFFFFFF)
+                    break
+        if key is None:
+            raise ValueError(
+                f"plate {name!r}: subsample_size={sub} needs randomness — "
+                f"pass key=... or run the model under seed(key)")
+        idx = jax.random.choice(key, size, (sub,), replace=False)
+    _PLATE_STACK.append(_Plate(name, size, dim, sub, idx))
     try:
-        yield
+        yield idx
     finally:
         _PLATE_STACK.pop()
 
 
 def _plate_shape(dist: Distribution) -> tuple:
-    sizes = tuple(p.size for p in _PLATE_STACK)
-    return jnp.broadcast_shapes(sizes, dist.batch_shape)
+    """Batch shape implied by active plates: each plate's (sub)size placed
+    at its own dim (NumPyro allocation), broadcast with the distribution's
+    intrinsic batch shape."""
+    if not _PLATE_STACK:
+        return jnp.broadcast_shapes((), dist.batch_shape)
+    ndim = max(-p.dim for p in _PLATE_STACK)
+    shape = [1] * ndim
+    for p in _PLATE_STACK:
+        shape[p.dim] = p.subsample_size
+    return jnp.broadcast_shapes(tuple(shape), dist.batch_shape)
+
+
+def _plate_scale() -> float:
+    scale = 1.0
+    for p in _PLATE_STACK:
+        if p.subsample_size != p.size:
+            scale *= p.size / p.subsample_size
+    return scale
 
 
 def sample(name: str, dist: Distribution, obs=None):
@@ -139,7 +208,8 @@ def sample(name: str, dist: Distribution, obs=None):
         raise RuntimeError(
             f"latent site {name!r} reached bottom of handler stack; run the "
             f"model under seed(key) or substitute(params)")
-    site = Site(name=name, dist=dist, value=value, is_observed=obs is not None)
+    site = Site(name=name, dist=dist, value=value, is_observed=obs is not None,
+                scale=_plate_scale())
     site.log_prob = dist.log_prob(value)
     for handler in reversed(_HANDLER_STACK):
         handler.postprocess(site)
@@ -159,7 +229,8 @@ def log_density(model: Callable, model_args: tuple, model_kwargs: dict,
         model(*model_args, **model_kwargs)
     total = jnp.asarray(0.0)
     for site in tr.sites.values():
-        total = total + jnp.sum(site.log_prob)
+        lp = jnp.sum(site.log_prob)
+        total = total + (site.scale * lp if site.scale != 1.0 else lp)
     return total, tr.sites
 
 

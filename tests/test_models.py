@@ -312,3 +312,95 @@ def test_uniform_array_bounds_in_model():
     assert bool(jnp.all(jnp.isfinite(u)))
     cons = mp.unflatten(q)["rate"]
     assert bool(jnp.all((cons >= lo) & (cons <= hi)))
+
+
+def test_nested_plate_dims_numpyro_semantics():
+    """Nested plates allocate distinct batch dims NumPyro-style: the
+    outermost plate takes the rightmost free dim (-1), inner plates move
+    left, so samples under plate(a=3) > plate(b=5) have shape (5, 3)
+    (VERDICT.md round-1 weak item 9, nested-broadcast semantics)."""
+    from physicsbasedbayesianinference_tpu.models.core import (
+        plate, sample, seed, trace)
+
+    with trace() as tr, seed(jax.random.key(0)):
+        with plate("a", 3):
+            sample("x", dist.Normal(0.0, 1.0))
+            with plate("b", 5):
+                sample("y", dist.Normal(0.0, 1.0))
+    assert tr.sites["x"].value.shape == (3,)
+    assert tr.sites["y"].value.shape == (5, 3)
+
+    # explicit dim
+    with trace() as tr2, seed(jax.random.key(1)):
+        with plate("a", 3, dim=-2):
+            sample("x", dist.Normal(0.0, 1.0))
+    assert tr2.sites["x"].value.shape == (3, 1)
+
+    # dim collision with an enclosing plate is an error
+    import pytest
+    with pytest.raises(ValueError, match="already taken"):
+        with plate("a", 3, dim=-1), plate("b", 5, dim=-1):
+            pass
+
+
+def test_plate_subsample_scaling():
+    """Minibatch subsampling: the block yields indices, sites inside draw
+    subsample_size copies, and log_density rescales their log-prob by
+    size/subsample_size (unbiased full-data estimate)."""
+    from physicsbasedbayesianinference_tpu.models.core import (
+        log_density, plate, sample)
+
+    data = jnp.arange(10.0)
+    k_sub = jax.random.key(42)
+
+    seen = {}
+
+    def model(data):
+        mu = sample("mu", dist.Normal(0.0, 1.0))
+        with plate("N", 10, subsample_size=4, key=k_sub) as idx:
+            seen["idx"] = idx
+            sample("obs", dist.Normal(mu, 1.0), obs=data[idx])
+
+    mu0 = 0.7
+    logp, sites = log_density(model, (data,), {}, {"mu": mu0})
+    idx = np.asarray(seen["idx"])
+    assert idx.shape == (4,)
+    assert len(np.unique(idx)) == 4 and idx.min() >= 0 and idx.max() < 10
+    assert sites["obs"].scale == pytest.approx(2.5)
+    expected = (scipy_norm_logpdf(mu0, 0.0, 1.0)
+                + 2.5 * sum(scipy_norm_logpdf(float(data[i]), mu0, 1.0)
+                            for i in idx))
+    np.testing.assert_allclose(float(logp), expected, rtol=1e-5)
+
+
+def scipy_norm_logpdf(x, loc, scale):
+    return float(-0.5 * ((x - loc) / scale) ** 2
+                 - np.log(scale) - 0.5 * np.log(2.0 * np.pi))
+
+
+def test_plate_subsample_needs_key():
+    """Subsampling without a key and without a seed handler must raise,
+    not silently bias the density."""
+    from physicsbasedbayesianinference_tpu.models.core import (
+        log_density, plate, sample)
+
+    def model():
+        with plate("N", 10, subsample_size=2) as idx:
+            sample("obs", dist.Normal(0.0, 1.0),
+                   obs=jnp.zeros(2) + 0.0 * idx[0])
+
+    with pytest.raises(ValueError, match="needs randomness"):
+        log_density(model, (), {}, {})
+
+
+def test_plate_subsample_seed_handler_supplies_key():
+    """Under seed(key) the plate draws its subsample indices from the
+    handler's key — prior simulation of subsampled models just works."""
+    from physicsbasedbayesianinference_tpu.models.core import (
+        plate, sample, seed, trace)
+
+    with trace() as tr, seed(jax.random.key(3)):
+        with plate("N", 100, subsample_size=8):
+            sample("x", dist.Normal(0.0, 1.0))
+    assert tr.sites["x"].value.shape == (8,)
+    assert tr.sites["x"].scale == pytest.approx(100.0 / 8.0)
