@@ -78,9 +78,10 @@ def timed_scan(step_collect, state, keys):
     return hist, a, float(ns), wall
 
 
-def min_ess_per_sec(hist, stds, wall):
+def min_ess_per_sec(hist, wall):
     """hist: [T, ESS_WALKERS, D] -> min-over-dims ESS/s for the FULL
-    ensemble (iid walkers: scale by NUM_WALKERS/ESS_WALKERS)."""
+    ensemble (iid walkers: scale by NUM_WALKERS/ESS_WALKERS). ESS is
+    scale-invariant per dimension, so no standardization is needed."""
     from physicsbasedbayesianinference_tpu.diagnostics import (
         effective_sample_size)
     ess = jax.jit(effective_sample_size)(hist)
@@ -195,7 +196,7 @@ def main():
 
     transitions_per_sec = t * NUM_WALKERS / wall
     grad_evals_per_sec = transitions_per_sec * mean_steps
-    ess_rate, min_ess = min_ess_per_sec(hist, stds, wall)
+    ess_rate, min_ess = min_ess_per_sec(hist, wall)
     print(json.dumps({
         "sampler": name,
         "target": f"ill_gauss_{NUM_DIMS} (cond 100)",

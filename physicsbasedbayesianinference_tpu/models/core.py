@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import zlib
 from typing import Any, Callable, Optional
 
 import jax
@@ -153,15 +154,25 @@ def plate(name: str, size: int, subsample_size: Optional[int] = None,
             raise ValueError(
                 f"plate {name!r}: dim {dim} already taken by an enclosing "
                 f"plate")
-    if subsample_size is None or int(subsample_size) >= size:
+    if subsample_size is not None and int(subsample_size) > size:
+        raise ValueError(
+            f"plate {name!r}: subsample_size={int(subsample_size)} exceeds "
+            f"size={size}")
+    if subsample_size is None or int(subsample_size) == size:
         sub, idx = size, jnp.arange(size)
     else:
         sub = int(subsample_size)
         if key is None:
             for handler in reversed(_HANDLER_STACK):
                 if isinstance(handler, seed):
+                    # Deterministic digest (NOT Python's salted hash(), which
+                    # varies per process and would break seeded determinism),
+                    # folded under a 'PLAT' tag so plate keys live in a
+                    # namespace disjoint from seed.process's small per-site
+                    # counters.
+                    digest = zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF
                     key = jax.random.fold_in(
-                        handler.key, hash(name) & 0x7FFFFFFF)
+                        jax.random.fold_in(handler.key, 0x504C4154), digest)
                     break
         if key is None:
             raise ValueError(
