@@ -26,6 +26,8 @@ class RunConfig:
     data_path: Optional[str] = None
 
     sampler: str = "hmc"            # hmc | nuts | smc | pt | chees
+    kernel: str = "auto"            # auto | fused | xla — transition engine
+    #                                 (auto = fully-fused pallas on TPU)
     num_walkers: int = 1024
     num_warmup: int = 500
     num_samples: int = 500

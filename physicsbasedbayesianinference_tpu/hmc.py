@@ -36,6 +36,7 @@ in-place aliasing of ensemble arrays (integrator.py:40-43).
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from typing import Callable, Optional, Union
 
 import jax
@@ -90,6 +91,13 @@ class HMCKernel:
     step: Callable[[Array, HMCState, Array], tuple[HMCState, HMCInfo]]
     num_steps: int
     grad_evals_per_step: int
+    # "xla" | "fused"; fused steps auto-select a pallas variant per call
+    # (see ``variant_for``) and accept ``potential_scale=`` for tempering
+    kind: str = "xla"
+    # (num_walkers, num_dims, mass_ndim) -> "packed-diag" | "packed-generic"
+    # | "generic" | "xla": which transition implementation a step with these
+    # shapes will execute (introspection for tests/CLI reporting)
+    variant_for: Optional[Callable[..., str]] = None
 
 
 def build_hmc_kernel(
@@ -210,6 +218,31 @@ class HMCRunResult:
     step_size: Array  # adapted step size
     mass: Array  # adapted (diagonal) mass / metric
     num_grad_evals: int  # total potential-gradient evaluations (all walkers)
+    kernel_used: str = "xla"  # "fused" | "xla" (post-fallback)
+    kernel_variant: str = "xla"  # pallas variant the sampling phase executed
+    sampling_seconds: float = 0.0  # wall time of the sampling scan (synced)
+
+
+def resolve_kernel_choice(kernel: str, *, integrator: str = "leapfrog",
+                          use_analytic_grad: bool = True) -> str:
+    """Resolve a ``kernel="auto"|"fused"|"xla"`` request to what will
+    actually run. "auto" picks the fused single-pallas-call transition on
+    TPU (the bench-headline path — VERDICT.md round-2 item 1: the product
+    surface must reach bench throughput) and the XLA scan elsewhere or for
+    non-leapfrog integrators (the fused kernels hard-code kick-drift-kick).
+    An explicit "fused" off-TPU also degrades to "xla" (the pallas
+    interpret-mode PRNG has no lowering), matching
+    :func:`build_fused_hmc_kernel`'s own fallback.
+    """
+    if kernel not in ("auto", "fused", "xla"):
+        raise ValueError(f"bad kernel={kernel!r} (want auto|fused|xla)")
+    if kernel == "xla":
+        return "xla"
+    fused_ok = (jax.default_backend() == "tpu"
+                and integrator in ("leapfrog", "velocity_verlet"))
+    if kernel == "auto":
+        return "fused" if fused_ok else "xla"
+    return "fused" if fused_ok else "xla"
 
 
 def run_hmc(
@@ -230,6 +263,7 @@ def run_hmc(
     constants: Constants = NATURAL,
     collect: str = "samples",
     thin: int = 1,
+    kernel: str = "auto",
 ) -> HMCRunResult:
     """Warmup-adapt and sample with ensemble HMC.
 
@@ -243,12 +277,25 @@ def run_hmc(
     ``collect``: "samples" stacks thinned positions ``[S, W, D]``;
     "moments" streams posterior mean/variance (O(D) memory — required at
     10^5 walkers, BASELINE.json config 5); "none" keeps only diagnostics.
+
+    ``kernel``: "auto" (default) runs warmup AND sampling through the
+    fully-fused pallas transition on TPU (packed layout when D | 128 —
+    the bench-headline engine) and the XLA scan elsewhere; "fused"/"xla"
+    force the choice ("fused" still degrades gracefully off-TPU). RNG
+    streams differ between the two engines (TPU hardware PRNG vs
+    jax.random) but target identical distributions.
     """
     if collect not in ("samples", "moments", "none"):
         raise ValueError(f"bad collect={collect!r}")
-    kernel = build_hmc_kernel(
-        potential_fn, num_steps=num_steps, integrator=integrator,
-        temperature=temperature, constants=constants)
+    choice = resolve_kernel_choice(kernel, integrator=integrator)
+    if choice == "fused":
+        kernel = build_fused_hmc_kernel(
+            potential_fn, num_steps=num_steps,
+            temperature=temperature, constants=constants)
+    else:
+        kernel = build_hmc_kernel(
+            potential_fn, num_steps=num_steps, integrator=integrator,
+            temperature=temperature, constants=constants)
     state = kernel.init(jnp.asarray(init_q), mass=mass)
     num_dims = state.ensemble.num_dims
     dtype = state.ensemble.q.dtype
@@ -321,7 +368,11 @@ def run_hmc(
     def sample_scan(state, keys):
         return jax.lax.scan(sample_body, (state, mean0, m2_0, n0), keys)
 
+    t0 = _time.perf_counter()
     (state, mean, m2, n), (outs, scals) = sample_scan(state, keys)
+    accept_rate = jnp.mean(scals["accept"])
+    float(accept_rate)  # scalar readback = reliable device sync
+    sampling_seconds = _time.perf_counter() - t0
 
     samples = None
     post_mean = post_var = None
@@ -334,16 +385,22 @@ def run_hmc(
     num_walkers = state.ensemble.num_walkers
     total_grads = ((num_warmup + num_samples) * num_walkers
                    * (kernel.num_steps * kernel.grad_evals_per_step + 1))
+    variant = "xla"
+    if kernel.kind == "fused" and kernel.variant_for is not None:
+        variant = kernel.variant_for(num_walkers, num_dims, 1)
     return HMCRunResult(
         state=state,
         samples=samples,
         mean=post_mean,
         var=post_var,
-        accept_rate=jnp.mean(scals["accept"]),
+        accept_rate=accept_rate,
         divergence_rate=jnp.mean(scals["div"]),
         step_size=step_size,
         mass=mass_arr,
         num_grad_evals=total_grads,
+        kernel_used=kernel.kind,
+        kernel_variant=variant,
+        sampling_seconds=sampling_seconds,
     )
 
 
@@ -355,6 +412,7 @@ def build_fused_hmc_kernel(
     constants: Constants = NATURAL,
     divergence_threshold: float = 1000.0,
     block_walkers: int = 512,
+    num_dims: Optional[int] = None,
 ) -> HMCKernel:
     """Single-kernel HMC: the ENTIRE transition (thermal momentum refresh
     with in-kernel PRNG, trajectory, Metropolis select) as one Pallas call
@@ -394,12 +452,18 @@ def build_fused_hmc_kernel(
         divergence_threshold=divergence_threshold) if diag is not None         else None
 
     # generalized packed path: works for any potential whose jaxpr the
-    # ops.packed interpreter covers; built lazily once D is known (at
-    # trace time) and memoized. None entries mark unsupported dims.
+    # ops.packed interpreter covers; built once D is known and memoized.
+    # The build MUST happen OUTSIDE any trace (the packed interpreter
+    # materialises blockdiag/tile constants as numpy — tracers explode),
+    # so it runs eagerly here when ``num_dims`` is supplied, or from
+    # ``init`` on concrete positions; a step traced before either sees
+    # the cache and skips the packed path rather than building mid-trace.
     _packed_generic_cache: dict = {}
 
-    def _packed_generic_for(num_dims: int):
+    def _packed_generic_for(num_dims: int, build: bool = False):
         if num_dims not in _packed_generic_cache:
+            if not build:
+                return None
             trans = None
             if 128 % num_dims == 0:
                 try:
@@ -412,42 +476,59 @@ def build_fused_hmc_kernel(
             _packed_generic_cache[num_dims] = trans
         return _packed_generic_cache[num_dims]
 
+    if num_dims is not None and diag is None:
+        _packed_generic_for(num_dims, build=True)
+
+    def init(q: Array, *, mass: Union[float, Array] = 1.0) -> HMCState:
+        q_arr = jnp.asarray(q)
+        if (q_arr.ndim == 2 and diag is None
+                and not isinstance(q_arr, jax.core.Tracer)):
+            _packed_generic_for(q_arr.shape[-1], build=True)
+        return base.init(q, mass=mass)
+
+    def variant_for(num_walkers: int, num_dims: int,
+                    mass_ndim: int = 1) -> str:
+        """Which pallas transition a step with these shapes executes."""
+        packable = (128 % num_dims == 0
+                    and num_walkers % (128 // num_dims) == 0
+                    and mass_ndim <= 1)
+        if packable and packed is not None:
+            return "packed-diag"
+        if packable and _packed_generic_for(num_dims) is not None:
+            return "packed-generic"
+        return "generic"
+
     def step(key: Array, state: HMCState, step_size: Array,
-             mass: Optional[Array] = None) -> tuple[HMCState, HMCInfo]:
+             mass: Optional[Array] = None,
+             potential_scale: Optional[Array] = None,
+             ) -> tuple[HMCState, HMCInfo]:
         ens = state.ensemble
         if mass is None:
             mass = ens.mass
         num_dims = ens.num_dims
+        scale = 1.0 if potential_scale is None else potential_scale
         p_std = thermal_momentum_std(mass, temperature, constants)
         seed = jax.random.randint(
             key, (), minval=-(2**31), maxval=2**31 - 1, dtype=jnp.int32)
         mass_arr = jnp.asarray(mass)
-        use_packed = (
-            packed is not None
-            and 128 % num_dims == 0
-            and ens.num_walkers % (128 // num_dims) == 0
-            and mass_arr.ndim <= 1)  # scalar or per-dim diagonal metric
-        packed_generic = None
-        if (not use_packed and 128 % num_dims == 0
-                and ens.num_walkers % (128 // num_dims) == 0
-                and mass_arr.ndim <= 1):
-            packed_generic = _packed_generic_for(num_dims)
-        if use_packed:
+        variant = variant_for(ens.num_walkers, num_dims, mass_arr.ndim)
+        if variant == "packed-diag":
             k_diag, mean = diag
             q1, g1, u1, accept_prob, accepted, energy_error = packed(
                 seed, ens.q, step_size=step_size, p_std=p_std,
-                inv_mass=1.0 / mass, beta=beta, k_diag=k_diag, mean=mean)
-        elif packed_generic is not None:
+                inv_mass=1.0 / mass, beta=beta, k_diag=k_diag, mean=mean,
+                scale=scale)
+        elif variant == "packed-generic":
             q1, u1, g1, accept_prob, accepted, energy_error = \
-                packed_generic(
+                _packed_generic_for(num_dims)(
                     seed, ens.q, state.potential_energy, state.grad,
                     step_size=step_size, p_std=p_std, inv_mass=1.0 / mass,
-                    beta=beta)
+                    beta=beta, scale=scale)
         else:
             q1, u1, g1, accept_prob, accepted, energy_error = generic(
                 seed, ens.q, state.potential_energy, state.grad,
                 step_size=step_size, p_std=p_std, inv_mass=1.0 / mass,
-                beta=beta)
+                beta=beta, scale=scale)
         new_state = HMCState(
             ensemble=ens.replace(q=q1, mass=mass),
             potential_energy=u1, grad=g1)
@@ -463,5 +544,5 @@ def build_fused_hmc_kernel(
         return new_state, info
 
     return HMCKernel(
-        init=base.init, step=step, num_steps=num_steps,
-        grad_evals_per_step=1)
+        init=init, step=step, num_steps=num_steps,
+        grad_evals_per_step=1, kind="fused", variant_for=variant_for)

@@ -128,8 +128,8 @@ def run(cfg: RunConfig) -> dict:
         summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
         return summary
 
-    if cfg.sampler == "hmc" and cfg.checkpoint_dir:
-        summary.update(_checkpointed_hmc_run(
+    if cfg.sampler in ("hmc", "nuts", "chees") and cfg.checkpoint_dir:
+        summary.update(_checkpointed_run(
             cfg, potential_fn, init_q, k_run, constants))
         summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
         return summary
@@ -142,13 +142,16 @@ def run(cfg: RunConfig) -> dict:
             num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
             target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
             temperature=cfg.temperature, constants=constants,
-            collect=cfg.collect, thin=cfg.thin)
+            collect=cfg.collect, thin=cfg.thin, kernel=cfg.kernel)
         samples = res.samples
         summary.update(
             accept_rate=float(res.accept_rate),
             divergence_rate=float(res.divergence_rate),
             step_size=float(res.step_size),
-            num_grad_evals=res.num_grad_evals)
+            num_grad_evals=res.num_grad_evals,
+            kernel_used=res.kernel_used,
+            kernel_variant=res.kernel_variant,
+            sampling_seconds=round(res.sampling_seconds, 3))
         if res.mean is not None:
             summary["posterior_mean"] = np.asarray(res.mean).tolist()
             summary["posterior_var"] = np.asarray(res.var).tolist()
@@ -174,7 +177,7 @@ def run(cfg: RunConfig) -> dict:
             num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
             init_step_size=cfg.init_step_size,
             target_accept=cfg.target_accept, temperature=cfg.temperature,
-            constants=constants,
+            constants=constants, kernel=cfg.kernel,
             collect="samples" if cfg.collect == "samples" else cfg.collect)
         samples = res.samples
         summary.update(
@@ -182,7 +185,8 @@ def run(cfg: RunConfig) -> dict:
             divergence_rate=float(res.divergence_rate),
             step_size=float(res.step_size),
             trajectory_time=float(res.trajectory_time),
-            mean_num_steps=float(res.mean_num_steps))
+            mean_num_steps=float(res.mean_num_steps),
+            kernel_used=res.kernel_used)
         if res.mean is not None:
             summary["posterior_mean"] = np.asarray(res.mean).tolist()
             summary["posterior_var"] = np.asarray(res.var).tolist()
@@ -212,7 +216,7 @@ def run(cfg: RunConfig) -> dict:
             num_mutation_steps=3, num_leapfrog_steps=cfg.num_steps,
             init_step_size=cfg.init_step_size, beta0=cfg.smc_beta0,
             max_stages=cfg.smc_max_stages, temperature=cfg.temperature,
-            constants=constants)
+            constants=constants, kernel=cfg.kernel)
         samples = res.q[None]
         summary.update(
             log_evidence=float(res.log_evidence),
@@ -245,27 +249,125 @@ def run(cfg: RunConfig) -> dict:
     return summary
 
 
-def _checkpointed_hmc_run(cfg: RunConfig, potential_fn, init_q, key,
-                          constants) -> dict:
-    """Fault-tolerant HMC: warmup once, then sample in chunks of
+def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
+                      constants) -> dict:
+    """Fault-tolerant sampling for every scan-shaped sampler (hmc, nuts,
+    chees — they share the ``init/step(key, state, step_size)`` kernel
+    interface): warmup once, then sample in chunks of
     ``checkpoint_every`` transitions, checkpointing {sampler state, adapted
-    step size, streaming moments, RNG chunk index} through orbax after each
-    chunk. Re-running the same config against the same ``checkpoint_dir``
-    resumes from the latest checkpoint — the recovery story SURVEY.md §5
-    specifies (restart with the same topology and continue). Collection is
-    streaming moments (O(D) state — checkpoints stay small at any walker
-    count)."""
+    step size (+ ChEES trajectory time), streaming moments, RNG chunk
+    index} through orbax after each chunk. Re-running the same config
+    against the same ``checkpoint_dir`` resumes from the latest checkpoint
+    — the recovery story SURVEY.md §5 specifies (restart with the same
+    topology and continue); the reference persists nothing (HMC.py:136-145
+    keeps everything in RAM). Collection is streaming moments (O(D) state
+    — checkpoints stay small at any walker count). The HMC path honours
+    ``cfg.kernel`` (fused pallas engine on TPU)."""
     from .checkpoint import CheckpointManager
-    from .hmc import build_hmc_kernel, run_hmc
+    from .hmc import resolve_kernel_choice
 
     num_dims = init_q.shape[-1]
     dtype = init_q.dtype
     every = cfg.checkpoint_every if cfg.checkpoint_every > 0 \
         else cfg.num_samples
-    kernel = build_hmc_kernel(
-        potential_fn, num_steps=cfg.num_steps,
-        temperature=cfg.temperature, constants=constants)
     mgr = CheckpointManager(cfg.checkpoint_dir)
+
+    # ---- sampler-specific warmup + chunk transition --------------------
+    # warm(key) -> (state, step_size, tau); tstep(k, st, eps, tau, x) ->
+    # (st', mean accept) with x the per-transition scan input (the Halton
+    # draw for chees, a dummy zero otherwise).
+    if cfg.sampler == "hmc":
+        from .hmc import (build_fused_hmc_kernel, build_hmc_kernel,
+                          run_hmc)
+        if resolve_kernel_choice(cfg.kernel) == "fused":
+            kern = build_fused_hmc_kernel(
+                potential_fn, num_steps=cfg.num_steps,
+                temperature=cfg.temperature, constants=constants,
+                num_dims=num_dims)
+        else:
+            kern = build_hmc_kernel(
+                potential_fn, num_steps=cfg.num_steps,
+                temperature=cfg.temperature, constants=constants)
+
+        def warm(k):
+            w = run_hmc(
+                k, potential_fn, init_q,
+                num_warmup=cfg.num_warmup, num_samples=0,
+                num_steps=cfg.num_steps,
+                init_step_size=cfg.init_step_size,
+                target_accept=cfg.target_accept,
+                adapt_mass=cfg.adapt_mass, temperature=cfg.temperature,
+                constants=constants, collect="none", kernel=cfg.kernel)
+            return w.state, w.step_size, jnp.zeros((), dtype)
+
+        def tstep(k, st, eps, tau, x):
+            st, info = kern.step(k, st, eps)
+            return st, jnp.mean(info.accept_prob)
+
+        init_state = kern.init
+        xs_all = np.zeros((cfg.num_samples,), np.float32)
+    elif cfg.sampler == "nuts":
+        from .nuts import build_nuts_kernel, run_nuts
+        kern = build_nuts_kernel(
+            potential_fn, max_depth=cfg.max_depth,
+            temperature=cfg.temperature, constants=constants)
+
+        def warm(k):
+            w = run_nuts(
+                k, potential_fn, init_q,
+                num_warmup=cfg.num_warmup, num_samples=0,
+                max_depth=cfg.max_depth,
+                init_step_size=cfg.init_step_size,
+                target_accept=cfg.target_accept,
+                adapt_mass=cfg.adapt_mass, temperature=cfg.temperature,
+                constants=constants, collect="none")
+            return w.state, w.step_size, jnp.zeros((), dtype)
+
+        def tstep(k, st, eps, tau, x):
+            st, info = kern.step(k, st, eps)
+            return st, jnp.mean(info.accept_prob)
+
+        init_state = kern.init
+        xs_all = np.zeros((cfg.num_samples,), np.float32)
+    else:  # chees
+        from .chees import (build_fused_jittered_step,
+                            build_jittered_hmc_kernel, halton_sequence,
+                            run_chees_hmc)
+        max_steps = 1024
+        init_fn, step_fn = build_jittered_hmc_kernel(
+            potential_fn, max_steps=max_steps,
+            temperature=cfg.temperature, constants=constants)
+        fused = None
+        if resolve_kernel_choice(cfg.kernel) == "fused":
+            fused = build_fused_jittered_step(
+                potential_fn, num_dims=num_dims, max_steps=max_steps,
+                temperature=cfg.temperature, constants=constants)
+
+        def warm(k):
+            w = run_chees_hmc(
+                k, potential_fn, init_q,
+                num_warmup=cfg.num_warmup, num_samples=0,
+                init_step_size=cfg.init_step_size,
+                target_accept=cfg.target_accept,
+                temperature=cfg.temperature, constants=constants,
+                collect="none", kernel=cfg.kernel)
+            return w.state, w.step_size, w.trajectory_time
+
+        def tstep(k, st, eps, tau, h):
+            n = jnp.clip(jnp.round(2.0 * h * tau / eps).astype(jnp.int32),
+                         1, max_steps)
+            if fused is not None:
+                st, info = fused(k, st, eps, n)
+            else:
+                st, info, _ = step_fn(k, st, eps, n)
+            return st, jnp.mean(info.accept_prob)
+
+        init_state = init_fn
+        # the SAME Halton tail an uninterrupted run would consume, so
+        # resumed trajectories reproduce the planned jitter schedule
+        xs_all = np.asarray(
+            halton_sequence(cfg.num_warmup + cfg.num_samples)
+        )[cfg.num_warmup:]
 
     def canonical(state):
         # restore templates need a fixed mass shape: always per-dim [D]
@@ -273,43 +375,36 @@ def _checkpointed_hmc_run(cfg: RunConfig, potential_fn, init_q, key,
             jnp.asarray(state.ensemble.mass, dtype), (1, num_dims))[0]
         return state.replace(ensemble=state.ensemble.replace(mass=mass))
 
-    latest = mgr.latest_step()
-    if latest is None:
-        warm = run_hmc(
-            key, potential_fn, init_q,
-            num_warmup=cfg.num_warmup, num_samples=0,
-            num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
-            target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
-            temperature=cfg.temperature, constants=constants,
-            collect="none")
-        payload = {
-            "state": canonical(warm.state),
-            "step_size": warm.step_size,
+    def empty_payload(state):
+        return {
+            "state": canonical(state),
+            "step_size": jnp.zeros((), dtype),
+            "tau": jnp.zeros((), dtype),
             "mean": jnp.zeros((num_dims,), dtype),
             "m2": jnp.zeros((num_dims,), dtype),
             "n": jnp.zeros((), dtype),
         }
+
+    latest = mgr.latest_step()
+    if latest is None:
+        state, step_size, tau = warm(key)
+        payload = dict(empty_payload(state),
+                       step_size=step_size, tau=tau)
         done = 0
         resumed_from = None
     else:
-        template = {
-            "state": canonical(kernel.init(init_q)),
-            "step_size": jnp.zeros((), dtype),
-            "mean": jnp.zeros((num_dims,), dtype),
-            "m2": jnp.zeros((num_dims,), dtype),
-            "n": jnp.zeros((), dtype),
-        }
-        payload = mgr.restore(template, latest)
+        payload = mgr.restore(empty_payload(init_state(init_q)), latest)
         done = int(latest)
         resumed_from = done
         print(f"# resumed from checkpoint step {done} in "
               f"{cfg.checkpoint_dir}", file=sys.stderr)
 
     @jax.jit
-    def chunk(state, chunk_key, step_size, mean, m2, n):
-        def body(carry, k):
+    def chunk(state, chunk_key, step_size, tau, mean, m2, n, xs):
+        def body(carry, kx):
             st, mean, m2, n = carry
-            st, info = kernel.step(k, st, step_size)
+            k, x = kx
+            st, acc = tstep(k, st, step_size, tau, x)
             q = st.ensemble.q
             w = q.shape[0]
             n_new = n + w
@@ -318,11 +413,11 @@ def _checkpointed_hmc_run(cfg: RunConfig, potential_fn, init_q, key,
             mean = mean + delta * (w / n_new)
             m2 = m2 + jnp.sum((q - bm) ** 2, axis=0) \
                 + delta**2 * (n * w / n_new)
-            return (st, mean, m2, n_new), jnp.mean(info.accept_prob)
+            return (st, mean, m2, n_new), acc
 
         keys = jax.random.split(chunk_key, every)
         (state, mean, m2, n), acc = jax.lax.scan(
-            body, (state, mean, m2, n), keys)
+            body, (state, mean, m2, n), (keys, xs))
         return state, mean, m2, n, jnp.mean(acc)
 
     accs = []
@@ -331,12 +426,16 @@ def _checkpointed_hmc_run(cfg: RunConfig, potential_fn, init_q, key,
         # chunk keys derive from the chunk index, so a resumed run draws
         # exactly the chunks the interrupted run would have drawn
         ck = jax.random.fold_in(jax.random.fold_in(key, 7), done)
+        xs = jnp.asarray(np.resize(xs_all[done:done + every], every),
+                         dtype)
         state, mean, m2, n, acc = chunk(
-            payload["state"], ck, payload["step_size"],
-            payload["mean"], payload["m2"], payload["n"])
+            payload["state"], ck, payload["step_size"], payload["tau"],
+            payload["mean"], payload["m2"], payload["n"], xs)
         done += every
-        payload = {"state": canonical(state), "step_size":
-                   payload["step_size"], "mean": mean, "m2": m2, "n": n}
+        payload = {"state": canonical(state),
+                   "step_size": payload["step_size"],
+                   "tau": payload["tau"],
+                   "mean": mean, "m2": m2, "n": n}
         mgr.save(done, payload, force=True)
         saves += 1
         accs.append(float(acc))

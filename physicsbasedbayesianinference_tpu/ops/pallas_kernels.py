@@ -51,6 +51,41 @@ def _pick_block(n: int, preferred: int) -> Optional[int]:
     return b
 
 
+def _hoist_consts(closed):
+    """Turn a closed jaxpr's consts into pallas kernel inputs.
+
+    2D consts (data matrices, precision matrices — e.g. the [256, 31]
+    design matrix of a logistic regression) pass through UNCHANGED:
+    Mosaic cannot lower the shape cast (1, N) -> (R, C), which is exactly
+    the "logreg generic = null" failure VERDICT.md round-2 item 3 tracks.
+    Scalars and vectors flatten to a (1, -1) row (VMEM wants 2D blocks)
+    and are reshaped back in-kernel ((1, N) -> (N,)/() casts do lower).
+    Rank > 2 collapses trailing-dim-major to (lead, last) and is restored
+    in-kernel (best effort — no builtin potential produces one).
+
+    Returns (inputs, recon) where recon[i] is None for pass-through
+    consts and the original shape otherwise.
+    """
+    inputs, recon = [], []
+    for c in closed.consts:
+        c = jnp.asarray(c)
+        if c.ndim == 2:
+            inputs.append(c)
+            recon.append(None)
+        elif c.ndim > 2:
+            inputs.append(jnp.reshape(c, (-1, c.shape[-1])))
+            recon.append(c.shape)
+        else:
+            inputs.append(jnp.reshape(c, (1, -1)))
+            recon.append(c.shape)
+    return inputs, recon
+
+
+def _restore_consts(const_refs, recon):
+    return [ref[:] if shape is None else ref[:].reshape(shape)
+            for ref, shape in zip(const_refs, recon)]
+
+
 # ---------------------------------------------------------------------------
 # Fused leapfrog trajectory
 # ---------------------------------------------------------------------------
@@ -84,19 +119,16 @@ def make_pallas_leapfrog(block_walkers: int = 256):
         # and re-evaluate the jaxpr inside the kernel.
         example = jax.ShapeDtypeStruct((bw, d), q.dtype)
         closed = jax.make_jaxpr(lambda qq: vg_fn(qq))(example)
-        consts = [jnp.asarray(c) for c in closed.consts]
-        const_shapes = [c.shape for c in consts]
-        const_inputs = [jnp.reshape(c, (1, -1)) for c in consts]
+        const_inputs, const_recon = _hoist_consts(closed)
 
         def converted(qq, *cvals):
             u, g = jax.core.eval_jaxpr(closed.jaxpr, cvals, qq)
             return u, g
 
         def kernel(dt_ref, q_ref, p_ref, im_ref, *rest):
-            const_refs = rest[:len(consts)]
-            q_out, p_out, u_out, g_out = rest[len(consts):]
-            cvals = [ref[:].reshape(shape)
-                     for ref, shape in zip(const_refs, const_shapes)]
+            const_refs = rest[:len(const_inputs)]
+            q_out, p_out, u_out, g_out = rest[len(const_inputs):]
+            cvals = _restore_consts(const_refs, const_recon)
 
             def vg(qq):
                 return converted(qq, *cvals)
@@ -135,7 +167,7 @@ def make_pallas_leapfrog(block_walkers: int = 256):
                 pl.BlockSpec((1, d), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ] + [
-                pl.BlockSpec((1, ci.shape[1]), lambda i: (0, 0),
+                pl.BlockSpec(ci.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
                 for ci in const_inputs
             ],
@@ -274,6 +306,7 @@ def make_fused_hmc_transition(
     num_steps: int,
     block_walkers: int = 512,  # measured optimum on v5e (46M vs 42M @ 256)
     divergence_threshold: float = 1000.0,
+    dynamic_steps: bool = False,
 ):
     """One COMPLETE HMC transition per walker block inside a single Pallas
     kernel: thermal momentum refresh (in-kernel PRNG, Box-Muller),
@@ -288,34 +321,46 @@ def make_fused_hmc_transition(
     — streams are independent of jax.random but statistically equivalent
     (validated against closed-form posteriors in tests).
 
+    ``scale`` is a traced potential prefactor (the tempered target is
+    exp(-beta_T * scale * U)): forces are ``scale * grad U`` and the
+    Hamiltonian uses ``scale * U``, while the cached/returned (u, g) stay
+    UNSCALED — one compiled kernel serves every SMC tempering stage.
+
+    ``dynamic_steps=True`` makes the leapfrog count a TRACED value: the
+    transition takes ``num_steps=<int32 scalar>`` per call, which rides in
+    SMEM and bounds an in-kernel ``fori_loop`` — one compiled kernel for
+    every jittered ChEES trajectory length (VERDICT.md round-2 item 5);
+    the builder's ``num_steps`` then only sizes cost accounting.
+
     Returns ``transition(seed, q, u, g, *, step_size, p_std, inv_mass,
-    beta) -> (q', u', g', accept_prob[W], accepted[W], energy_error[W])``.
+    beta[, scale][, num_steps])
+    -> (q', u', g', accept_prob[W], accepted[W], energy_error[W])``.
     """
 
-    def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta):
+    def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta,
+                   scale=1.0, num_steps=num_steps):
         w, d = q.shape
         bw = _pick_block(w, block_walkers)
         dtype = q.dtype
         p_std_arr = jnp.broadcast_to(jnp.asarray(p_std, dtype), (1, d))
         inv_mass_arr = jnp.broadcast_to(jnp.asarray(inv_mass, dtype), (1, d))
         scalars = jnp.stack([
-            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype)
-        ]).reshape(1, 2)
+            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype),
+            jnp.asarray(scale, dtype),
+        ]).reshape(1, 3)
         seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1))
+        ns_arr = jnp.reshape(jnp.asarray(num_steps, jnp.int32), (1, 1))
 
         example = jax.ShapeDtypeStruct((bw, d), dtype)
         closed = jax.make_jaxpr(lambda qq: vg_fn(qq))(example)
-        consts = [jnp.asarray(c) for c in closed.consts]
-        const_shapes = [c.shape for c in consts]
-        const_inputs = [jnp.reshape(c, (1, -1)) for c in consts]
+        const_inputs, const_recon = _hoist_consts(closed)
 
-        def kernel(seed_ref, sc_ref, q_ref, u_ref, g_ref, ps_ref, im_ref,
-                   *rest):
-            const_refs = rest[:len(consts)]
+        def kernel(seed_ref, ns_ref, sc_ref, q_ref, u_ref, g_ref, ps_ref,
+                   im_ref, *rest):
+            const_refs = rest[:len(const_inputs)]
             (q_out, u_out, g_out, acc_out, taken_out, derr_out) = \
-                rest[len(consts):]
-            cvals = [ref[:].reshape(shape)
-                     for ref, shape in zip(const_refs, const_shapes)]
+                rest[len(const_inputs):]
+            cvals = _restore_consts(const_refs, const_recon)
 
             def vg(qq):
                 uu, gg = jax.core.eval_jaxpr(closed.jaxpr, cvals, qq)
@@ -324,9 +369,16 @@ def make_fused_hmc_transition(
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
             dt = sc_ref[0, 0]
             beta_v = sc_ref[0, 1]
+            s = sc_ref[0, 2]
+            n_steps = ns_ref[0, 0] if dynamic_steps else num_steps
             im = im_ref[:]
             q0 = q_ref[:]
-            u0 = u_ref[:, 0]
+            # Keep the potential value 2D [bw, 1] throughout: a 1D slice
+            # (u_ref[:, 0]) carried through fori_loop crashes Mosaic's
+            # layout inference on matmul-bearing jaxprs ("Check failed:
+            # arr.size() >= layout_rank") — the round-2 "logreg generic
+            # = null" failure.
+            u0 = u_ref[:]            # [bw, 1]
             g0 = g_ref[:]
 
             bits1 = pltpu.bitcast(
@@ -334,40 +386,41 @@ def make_fused_hmc_transition(
             bits2 = pltpu.bitcast(
                 pltpu.prng_random_bits(q0.shape), jnp.uint32)
             p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
-            h0 = 0.5 * jnp.sum(p0 * p0 * im, axis=1) + u0
+            h0 = 0.5 * jnp.sum(p0 * p0 * im, axis=1, keepdims=True) \
+                + s * u0
 
             def body(_, carry):
                 q, p, u, g = carry
-                p = p - (0.5 * dt) * g
+                p = p - (0.5 * dt * s) * g
                 q = q + dt * p * im
-                u, g = vg(q)
-                p = p - (0.5 * dt) * g
-                return (q, p, u, g)
+                u1d, g = vg(q)
+                p = p - (0.5 * dt * s) * g
+                return (q, p, u1d[:, None], g)
 
             q1, p1, u1, g1 = jax.lax.fori_loop(
-                0, num_steps, body, (q0, p0, u0, g0))
-            h1 = 0.5 * jnp.sum(p1 * p1 * im, axis=1) + u1
+                0, n_steps, body, (q0, p0, u0, g0))
+            h1 = 0.5 * jnp.sum(p1 * p1 * im, axis=1, keepdims=True) \
+                + s * u1
 
-            energy_error = beta_v * (h1 - h0)
+            energy_error = beta_v * (h1 - h0)      # [bw, 1]
             energy_error = jnp.where(
                 jnp.isnan(energy_error), jnp.inf, energy_error)
             divergent = energy_error > divergence_threshold
 
             bits_u = pltpu.bitcast(
                 pltpu.prng_random_bits((q0.shape[0], 1)), jnp.uint32)
-            log_u = jnp.log(_uniform_from_bits(bits_u)[:, 0])
+            log_u = jnp.log(_uniform_from_bits(bits_u))
             accepted = (log_u < -energy_error) & ~divergent
             accept_prob = jnp.where(
                 divergent, 0.0,
                 jnp.exp(jnp.minimum(0.0, -energy_error)))
 
-            sel = accepted[:, None]
-            q_out[:] = jnp.where(sel, q1, q0)
-            u_out[:] = jnp.where(accepted, u1, u0)[:, None]
-            g_out[:] = jnp.where(sel, g1, g0)
-            acc_out[:] = accept_prob[:, None]
-            taken_out[:] = accepted[:, None].astype(dtype)
-            derr_out[:] = energy_error[:, None]
+            q_out[:] = jnp.where(accepted, q1, q0)
+            u_out[:] = jnp.where(accepted, u1, u0)
+            g_out[:] = jnp.where(accepted, g1, g0)
+            acc_out[:] = accept_prob
+            taken_out[:] = accepted.astype(dtype)
+            derr_out[:] = energy_error
 
         grid = (w // bw,)
         block = lambda i: (i, 0)
@@ -379,14 +432,16 @@ def make_fused_hmc_transition(
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((bw, d), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bw, 1), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bw, d), block, memory_space=pltpu.VMEM),
                 rep((1, d)),
                 rep((1, d)),
-            ] + [rep((1, ci.shape[1])) for ci in const_inputs],
+            ] + [rep(ci.shape) for ci in const_inputs],
             out_specs=[
                 pl.BlockSpec((bw, d), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bw, 1), block, memory_space=pltpu.VMEM),
@@ -404,12 +459,13 @@ def make_fused_hmc_transition(
                 jax.ShapeDtypeStruct((w, 1), dtype),
             ],
             interpret=_use_interpret(),
-        )(seed_arr, scalars, q, u[:, None], g, p_std_arr, inv_mass_arr,
-          *const_inputs)
+        )(seed_arr, ns_arr, scalars, q, u[:, None], g, p_std_arr,
+          inv_mass_arr, *const_inputs)
         q1, u1, g1, acc, taken, derr = out
         return (q1, u1[:, 0], g1, acc[:, 0], taken[:, 0] > 0.5, derr[:, 0])
 
     transition.num_steps = num_steps  # type: ignore[attr-defined]
+    transition.dynamic_steps = dynamic_steps  # type: ignore[attr-defined]
     return transition
 
 
@@ -426,6 +482,7 @@ def make_fused_hmc_packed(
     block_rows: int = 128,
     divergence_threshold: float = 1000.0,
     use_analytic: bool = True,
+    dynamic_steps: bool = False,
 ):
     """Fused HMC transition in the walker-packed layout for ANY potential
     (via the :mod:`..ops.packed` jaxpr transform): elementwise force ops
@@ -457,7 +514,8 @@ def make_fused_hmc_packed(
     pgrad = packed_grad(potential_fn, num_dims, use_analytic=use_analytic)
     pvalue = packed_value(potential_fn, num_dims)
 
-    def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta):
+    def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta,
+                   scale=1.0, num_steps=num_steps):
         w, d = q.shape
         if d != num_dims:
             raise ValueError(f"expected D={num_dims}, got {d}")
@@ -476,9 +534,11 @@ def make_fused_hmc_packed(
         imp = tile(inv_mass)
         psp = tile(p_std)
         scalars = jnp.stack([
-            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype)
-        ]).reshape(1, 2)
+            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype),
+            jnp.asarray(scale, dtype),
+        ]).reshape(1, 3)
         seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1))
+        ns_arr = jnp.reshape(jnp.asarray(num_steps, jnp.int32), (1, 1))
 
         import numpy as _np
         s_np = _np.zeros((pack * d, pack), _np.float32)
@@ -504,8 +564,8 @@ def make_fused_hmc_packed(
                     "ops.packed must produce only 2D constants")
         const_inputs = consts
 
-        def kernel(seed_ref, sc_ref, q_ref, u_ref, g_ref, im_ref, ps_ref,
-                   s_ref, st_ref, *rest):
+        def kernel(seed_ref, ns_ref, sc_ref, q_ref, u_ref, g_ref, im_ref,
+                   ps_ref, s_ref, st_ref, *rest):
             const_refs = rest[:len(consts)]
             (q_out, u_out, g_out, acc_out, taken_out, derr_out) = \
                 rest[len(consts):]
@@ -524,6 +584,8 @@ def make_fused_hmc_packed(
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
             dt = sc_ref[0, 0]
             beta_v = sc_ref[0, 1]
+            s = sc_ref[0, 2]
+            n_steps = ns_ref[0, 0] if dynamic_steps else num_steps
             im = im_ref[:]
             s_mat = s_ref[:]
             st_mat = st_ref[:]
@@ -540,20 +602,20 @@ def make_fused_hmc_packed(
             def seg_sum(x):  # (br, pack*d) -> (br, pack)
                 return jnp.dot(x, s_mat, preferred_element_type=dtype)
 
-            h0 = 0.5 * seg_sum(p0 * p0 * im) + u0
+            h0 = 0.5 * seg_sum(p0 * p0 * im) + s * u0
 
             def body(_, carry):
                 q, p, g = carry
-                p = p - (0.5 * dt) * g
+                p = p - (0.5 * dt * s) * g
                 q = q + dt * p * im
                 g = grad_fn(q)
-                p = p - (0.5 * dt) * g
+                p = p - (0.5 * dt * s) * g
                 return (q, p, g)
 
             q1, p1, g1 = jax.lax.fori_loop(
-                0, num_steps, body, (q0, p0, g0))
+                0, n_steps, body, (q0, p0, g0))
             u1 = value_fn(q1)
-            h1 = 0.5 * seg_sum(p1 * p1 * im) + u1
+            h1 = 0.5 * seg_sum(p1 * p1 * im) + s * u1
 
             derr = beta_v * (h1 - h0)               # (br, pack)
             derr = jnp.where(jnp.isnan(derr), jnp.inf, derr)
@@ -585,7 +647,9 @@ def make_fused_hmc_packed(
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((br, pack * d), block,
                              memory_space=pltpu.VMEM),
@@ -614,13 +678,15 @@ def make_fused_hmc_packed(
                 jax.ShapeDtypeStruct((rows, pack), dtype),
             ],
             interpret=_use_interpret(),
-        )(seed_arr, scalars, qp, up, gp, imp, psp, S, ST, *const_inputs)
+        )(seed_arr, ns_arr, scalars, qp, up, gp, imp, psp, S, ST,
+          *const_inputs)
         q1, u1, g1, acc, taken, derr = out
         return (q1.reshape(w, d), u1.reshape(w), g1.reshape(w, d),
                 acc.reshape(w), taken.reshape(w) > 0.5, derr.reshape(w))
 
     transition.num_steps = num_steps  # type: ignore[attr-defined]
     transition.pack = pack  # type: ignore[attr-defined]
+    transition.dynamic_steps = dynamic_steps  # type: ignore[attr-defined]
     return transition
 
 
@@ -652,7 +718,7 @@ def make_fused_hmc_diag_quadratic(
     """
 
     def transition(seed, q, *, step_size, p_std, inv_mass, beta,
-                   k_diag, mean):
+                   k_diag, mean, scale=1.0):
         w, d = q.shape
         if 128 % d != 0:
             raise ValueError(f"packed kernel needs D | 128; got D={d}")
@@ -672,8 +738,9 @@ def make_fused_hmc_diag_quadratic(
         imp = tile(inv_mass)
         psp = tile(p_std)
         scalars = jnp.stack([
-            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype)
-        ]).reshape(1, 2)
+            jnp.asarray(step_size, dtype), jnp.asarray(beta, dtype),
+            jnp.asarray(scale, dtype),
+        ]).reshape(1, 3)
         seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1))
 
         # segment-sum matrix S[pack*d, pack] and its expansion transpose
@@ -690,6 +757,7 @@ def make_fused_hmc_diag_quadratic(
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
             dt = sc_ref[0, 0]
             beta_v = sc_ref[0, 1]
+            s = sc_ref[0, 2]
             k = kp_ref[:]
             mu = mu_ref[:]
             im = im_ref[:]
@@ -708,19 +776,19 @@ def make_fused_hmc_diag_quadratic(
 
             qc0 = q0 - mu
             u0 = 0.5 * seg_sum(k * qc0 * qc0)
-            h0 = 0.5 * seg_sum(p0 * p0 * im) + u0
+            h0 = 0.5 * seg_sum(p0 * p0 * im) + s * u0
 
             def body(_, carry):
                 q, p = carry
-                p = p - (0.5 * dt) * (k * (q - mu))
+                p = p - (0.5 * dt * s) * (k * (q - mu))
                 q = q + dt * p * im
-                p = p - (0.5 * dt) * (k * (q - mu))
+                p = p - (0.5 * dt * s) * (k * (q - mu))
                 return (q, p)
 
             q1, p1 = jax.lax.fori_loop(0, num_steps, body, (q0, p0))
             qc1 = q1 - mu
             u1 = 0.5 * seg_sum(k * qc1 * qc1)
-            h1 = 0.5 * seg_sum(p1 * p1 * im) + u1
+            h1 = 0.5 * seg_sum(p1 * p1 * im) + s * u1
 
             derr = beta_v * (h1 - h0)               # (br, pack)
             derr = jnp.where(jnp.isnan(derr), jnp.inf, derr)
@@ -756,7 +824,7 @@ def make_fused_hmc_diag_quadratic(
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i: (0, 0),
+                pl.BlockSpec((1, 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((br, pack * d), block,
                              memory_space=pltpu.VMEM),

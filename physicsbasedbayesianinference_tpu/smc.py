@@ -38,7 +38,9 @@ from jax.sharding import Mesh
 
 from .adaptation import da_init, da_update
 from .constants import Constants, NATURAL
-from .hmc import build_hmc_kernel
+from .ensemble import EnsembleState
+from .hmc import (HMCState, build_fused_hmc_kernel, build_hmc_kernel,
+                  resolve_kernel_choice)
 from .ops.potentials import batched_value_and_grad
 from .parallel.mesh import WALKER_AXIS
 
@@ -184,6 +186,7 @@ def run_smc(
     mutation_target_accept: float = 0.75,
     mesh: Optional[Mesh] = None,
     mesh_axis: str = WALKER_AXIS,
+    kernel: str = "auto",
 ) -> SMCResult:
     """Anneal the ensemble from pi_{beta0} (near-flat) to pi_{beta_max}
     (the target) with ESS-adaptive tempering, systematic resampling, and
@@ -203,6 +206,14 @@ def run_smc(
     resampling uses :func:`.parallel.resample.ring_systematic_resample`:
     per-device memory O(W/K) and K-1 neighbor ppermute hops instead of the
     dense all-to-all gather (requires ``resampler="systematic"``).
+
+    ``kernel``: "auto"|"fused"|"xla" selects the mutation engine. On TPU
+    "auto" runs every mutation sweep through the fully-fused pallas HMC
+    transition with the stage temperature as a *traced* potential prefactor
+    (``potential_scale`` — forces scale * grad U, Hamiltonian scale * U):
+    one compiled kernel serves the whole annealing ladder at bench-headline
+    throughput (VERDICT.md round-2 item 1: SMC mutation was locked to the
+    XLA kernel). Off-TPU this degrades to the XLA scan kernel.
     """
     init_q = jnp.asarray(init_q)
     num_walkers, num_dims = init_q.shape
@@ -226,14 +237,17 @@ def run_smc(
             return jnp.take(q, idx, axis=0)
 
     base_beta = 1.0 / (constants.k_B * temperature)
-
-    kernel = build_hmc_kernel(
+    choice = resolve_kernel_choice(kernel)
+    fused_kernel = build_fused_hmc_kernel(
         potential_fn, num_steps=num_leapfrog_steps,
-        temperature=temperature, constants=constants)
+        temperature=temperature, constants=constants,
+        num_dims=num_dims) \
+        if choice == "fused" else None
 
     # tempered kernel: scale the potential by beta (relative to base).
-    # beta enters only as a traced multiplier, so the while_loop body
-    # compiles once for all stages.
+    # beta enters only as a traced multiplier (a closure const for the XLA
+    # path, the potential_scale SMEM scalar for the fused path), so the
+    # while_loop body compiles once for all stages.
     def tempered_step(key, q, beta, step_size):
         """One HMC transition targeting exp(-beta * U / (k_B T))."""
         def beta_potential(qq):
@@ -244,6 +258,19 @@ def run_smc(
         state = k.init(q)
         new_state, info = k.step(key, state, step_size)
         return new_state.ensemble.q, jnp.mean(info.accept_prob)
+
+    def fused_tempered_step(key, q, u, g, beta, step_size):
+        """Fused-pallas tempered transition; (u, g) are UNSCALED caches."""
+        st = HMCState(
+            ensemble=EnsembleState(
+                q=q, p=jnp.zeros_like(q),
+                mass=jnp.asarray(1.0, q.dtype),
+                log_weight=jnp.zeros(q.shape[:1], q.dtype)),
+            potential_energy=u, grad=g)
+        st, info = fused_kernel.step(key, st, step_size,
+                                     potential_scale=beta)
+        return (st.ensemble.q, st.potential_energy, st.grad,
+                jnp.mean(info.accept_prob))
 
     @jax.jit
     def smc(key, init_q):
@@ -278,18 +305,36 @@ def run_smc(
             # mutation: K tempered-HMC sweeps, each feeding its
             # ensemble-mean acceptance into the dual-averaging state
             # (per-stage adaptation, VERDICT.md round-1 item 7)
-            def mut(carry, k):
-                q, da, _ = carry
-                step_size = jnp.exp(da.log_step).astype(dtype)
-                q, acc = tempered_step(k, q, new_beta, step_size)
-                da = da_update(da, acc, target=mutation_target_accept)
-                return (q, da, acc), None
+            if choice == "fused":
+                # refresh the (u, g) caches after the resample-select,
+                # then keep them current through the fused transitions —
+                # the stage-end reweighting u comes for free
+                u_m, g_m = vg(q)
 
-            (q, da, acc), _ = jax.lax.scan(
-                mut, (q, da, jnp.asarray(0.0, dtype)),
-                jax.random.split(k_mut, num_mutation_steps))
-            # unscaled target potential for the next reweighting step
-            u, _ = vg(q)
+                def mut(carry, k):
+                    q, u, g, da, _ = carry
+                    step_size = jnp.exp(da.log_step).astype(dtype)
+                    q, u, g, acc = fused_tempered_step(
+                        k, q, u, g, new_beta, step_size)
+                    da = da_update(da, acc, target=mutation_target_accept)
+                    return (q, u, g, da, acc), None
+
+                (q, u, _, da, acc), _ = jax.lax.scan(
+                    mut, (q, u_m, g_m, da, jnp.asarray(0.0, dtype)),
+                    jax.random.split(k_mut, num_mutation_steps))
+            else:
+                def mut(carry, k):
+                    q, da, _ = carry
+                    step_size = jnp.exp(da.log_step).astype(dtype)
+                    q, acc = tempered_step(k, q, new_beta, step_size)
+                    da = da_update(da, acc, target=mutation_target_accept)
+                    return (q, da, acc), None
+
+                (q, da, acc), _ = jax.lax.scan(
+                    mut, (q, da, jnp.asarray(0.0, dtype)),
+                    jax.random.split(k_mut, num_mutation_steps))
+                # unscaled target potential for the next reweighting step
+                u, _ = vg(q)
 
             betas = betas.at[stage + 1].set(new_beta)
             ess_h = ess_h.at[stage].set(ess)

@@ -16,4 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PBBI_TEST_TPU=1 leaves the real backend in place so the
+# @skipif(backend != "tpu") statistical tests actually execute on
+# hardware:  PBBI_TEST_TPU=1 pytest tests/test_pallas.py -k tpu
+if os.environ.get("PBBI_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

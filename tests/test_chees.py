@@ -86,3 +86,17 @@ def test_chees_validates_collect():
         run_chees_hmc(jax.random.key(0), target,
                       jnp.zeros((8, 2)), num_warmup=0, num_samples=1,
                       collect="bad")
+
+
+def test_chees_kernel_option_cpu_fallback():
+    target = pot.make_standard_normal(2)
+    q0 = jax.random.normal(jax.random.key(0), (512, 2))
+    kw = dict(num_warmup=100, num_samples=100, init_step_size=0.3,
+              collect="moments")
+    res_f = run_chees_hmc(jax.random.key(1), target, q0, kernel="fused",
+                          **kw)
+    res_x = run_chees_hmc(jax.random.key(1), target, q0, kernel="xla",
+                          **kw)
+    assert res_f.kernel_used == "xla"  # no TPU here
+    np.testing.assert_allclose(np.asarray(res_f.mean),
+                               np.asarray(res_x.mean), rtol=1e-6)

@@ -150,3 +150,37 @@ def test_integrator_choices_sample_correctly(integrator):
         num_steps=8, integrator=integrator)
     s = np.asarray(res.samples).reshape(-1, 2)
     np.testing.assert_allclose(s.std(axis=0), 1.0, rtol=0.08)
+
+
+def test_run_hmc_kernel_option_cpu_fallback():
+    """kernel="fused"/"auto" degrade gracefully to the XLA engine off-TPU
+    (resolve_kernel_choice), with identical results to an explicit
+    kernel="xla" run at equal seed (same engine, same streams)."""
+    fn = pot.make_standard_normal(3)
+    q0 = jax.random.normal(jax.random.key(0), (256, 3))
+    kw = dict(num_warmup=50, num_samples=50, num_steps=8,
+              collect="moments")
+    res_f = pbbi.run_hmc(jax.random.key(1), fn, q0, kernel="fused", **kw)
+    res_x = pbbi.run_hmc(jax.random.key(1), fn, q0, kernel="xla", **kw)
+    assert res_f.kernel_used == "xla"
+    assert res_f.kernel_variant == "xla"
+    np.testing.assert_allclose(np.asarray(res_f.mean),
+                               np.asarray(res_x.mean), rtol=1e-6)
+    assert res_f.sampling_seconds > 0.0
+
+
+def test_run_hmc_rejects_bad_kernel():
+    fn = pot.make_standard_normal(2)
+    with pytest.raises(ValueError, match="kernel"):
+        pbbi.run_hmc(jax.random.key(0), fn, jnp.zeros((8, 2)),
+                     num_warmup=0, num_samples=1, num_steps=2,
+                     kernel="cuda")
+
+
+def test_resolve_kernel_choice():
+    from physicsbasedbayesianinference_tpu.hmc import resolve_kernel_choice
+    assert resolve_kernel_choice("xla") == "xla"
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_kernel_choice("auto") == ("fused" if on_tpu else "xla")
+    # non-leapfrog integrators never take the fused path
+    assert resolve_kernel_choice("auto", integrator="yoshida4") == "xla"

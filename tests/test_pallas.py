@@ -265,3 +265,215 @@ def test_inkernel_prng_distributions_tpu():
     # moments of the Box-Muller normals
     np.testing.assert_allclose(z.mean(), 0.0, atol=0.02)
     np.testing.assert_allclose(z.var(), 1.0, rtol=0.02)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused kernels use the TPU hardware PRNG")
+def test_fused_scale_semantics_tpu():
+    """``scale`` (the SMC tempering prefactor) must make the transition
+    target exp(-scale * U): same seed, transition(U, scale=s) ==
+    transition(s * U, scale=1) up to float reassociation — the PRNG
+    streams are identical, so trajectories and accepts coincide."""
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad, make_funnel)
+
+    d, w, s = 16, 1024, 0.37
+    fn = make_funnel(d)
+    vg = batched_value_and_grad(fn)
+
+    def scaled(q):
+        return s * fn(q)
+    vg_s = batched_value_and_grad(scaled, use_analytic=False)
+
+    q0 = jax.random.normal(jax.random.key(0), (w, d), jnp.float32)
+    u0, g0 = vg(q0)
+    us0, gs0 = vg_s(q0)
+    t_raw = make_fused_hmc_transition(vg, num_steps=8)
+    t_scl = make_fused_hmc_transition(vg_s, num_steps=8)
+    dt = jnp.float32(0.3)
+    seed = jnp.int32(1234)
+    qa, ua, ga, acca, _, erra = jax.jit(
+        lambda: t_raw(seed, q0, u0, g0, step_size=dt, p_std=1.0,
+                      inv_mass=1.0, beta=1.0, scale=s))()
+    qb, ub, gb, accb, _, errb = jax.jit(
+        lambda: t_scl(seed, q0, us0, gs0, step_size=dt, p_std=1.0,
+                      inv_mass=1.0, beta=1.0))()
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(erra), np.asarray(errb),
+                               rtol=1e-3, atol=1e-3)
+    # returned caches are UNSCALED for the raw-potential transition
+    np.testing.assert_allclose(np.asarray(s * ua), np.asarray(ub),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused kernels use the TPU hardware PRNG")
+def test_fused_dynamic_steps_matches_static_tpu():
+    """dynamic_steps=True with a traced count n must reproduce the
+    statically-built num_steps=n kernel bit-for-bit at equal seed
+    (same PRNG consumption, same trajectory)."""
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_packed, make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad, make_funnel)
+
+    d, w = 16, 1024
+    fn = make_funnel(d)
+    vg = batched_value_and_grad(fn)
+    q0 = jax.random.normal(jax.random.key(0), (w, d), jnp.float32)
+    u0, g0 = vg(q0)
+    dt = jnp.float32(0.25)
+    seed = jnp.int32(99)
+
+    for n in (3, 11):
+        t_dyn = make_fused_hmc_transition(vg, num_steps=64,
+                                          dynamic_steps=True)
+        t_static = make_fused_hmc_transition(vg, num_steps=n)
+        outs_d = jax.jit(lambda n=n: t_dyn(
+            seed, q0, u0, g0, step_size=dt, p_std=1.0, inv_mass=1.0,
+            beta=1.0, num_steps=jnp.int32(n)))()
+        outs_s = jax.jit(lambda n=n: t_static(
+            seed, q0, u0, g0, step_size=dt, p_std=1.0, inv_mass=1.0,
+            beta=1.0))()
+        np.testing.assert_allclose(np.asarray(outs_d[0]),
+                                   np.asarray(outs_s[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+    # packed variant: same property through the jaxpr-transform layout
+    t_dynp = make_fused_hmc_packed(fn, num_dims=d, num_steps=64,
+                                   dynamic_steps=True)
+    t_stap = make_fused_hmc_packed(fn, num_dims=d, num_steps=7)
+    outs_d = jax.jit(lambda: t_dynp(
+        seed, q0, u0, g0, step_size=dt, p_std=1.0, inv_mass=1.0,
+        beta=1.0, num_steps=jnp.int32(7)))()
+    outs_s = jax.jit(lambda: t_stap(
+        seed, q0, u0, g0, step_size=dt, p_std=1.0, inv_mass=1.0,
+        beta=1.0))()
+    np.testing.assert_allclose(np.asarray(outs_d[0]),
+                               np.asarray(outs_s[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused kernels use the TPU hardware PRNG")
+def test_generic_fused_matmul_potential_tpu():
+    """The generic fused kernel must handle matmul-bearing potentials
+    whose jaxprs close over 2D constants (a [N, D-1] design matrix) —
+    the 'logreg generic = null' failure of VERDICT.md round-2 item 3:
+    2D consts now pass through to VMEM unchanged instead of being
+    flattened to (1, N*D) and un-shape-castable in Mosaic."""
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        logistic_regression)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad)
+
+    x = jax.random.normal(jax.random.key(7), (256, 31))
+    w_true = jax.random.normal(jax.random.key(8), (31,))
+    labels = (jax.random.uniform(jax.random.key(9), (256,))
+              < jax.nn.sigmoid(x @ w_true)).astype(jnp.float32)
+    mp = make_model_potential(logistic_regression, (x, labels), {})
+    vg = batched_value_and_grad(mp.potential)
+
+    w = 1024
+    q0 = 0.1 * jax.random.normal(jax.random.key(0), (w, 32), jnp.float32)
+    u0, g0 = vg(q0)
+    trans = make_fused_hmc_transition(vg, num_steps=4)
+    q1, u1, g1, acc, taken, _ = jax.jit(lambda: trans(
+        jnp.int32(5), q0, u0, g0, step_size=jnp.float32(0.05),
+        p_std=1.0, inv_mass=1.0, beta=1.0))()
+    # the returned caches must equal the true potential at the returned
+    # state — this validates the in-kernel jaxpr evaluation (incl. the
+    # 2D-const design-matrix matmul) independent of the PRNG stream
+    u_chk, g_chk = vg(q1)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u_chk),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g_chk),
+                               rtol=2e-3, atol=2e-3)
+    assert 0.05 < float(jnp.mean(taken)) <= 1.0
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="product-surface fused path needs TPU")
+def test_run_hmc_auto_selects_packed_and_matches_xla_tpu():
+    """VERDICT.md round-2 item 1 'done' criterion: the product surface
+    (run_hmc / the CLI behind it) must select the packed fused kernel on
+    an eligible target and match the XLA kernel's posterior moments."""
+    from physicsbasedbayesianinference_tpu.hmc import run_hmc
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_standard_normal)
+
+    d, w = 32, 4096
+    fn = make_standard_normal(d)
+    q0 = jax.random.normal(jax.random.key(0), (w, d), jnp.float32)
+    kw = dict(num_warmup=100, num_samples=200, num_steps=16,
+              collect="moments")
+    res_f = run_hmc(jax.random.key(1), fn, q0, kernel="auto", **kw)
+    assert res_f.kernel_used == "fused"
+    assert res_f.kernel_variant == "packed-diag"
+    res_x = run_hmc(jax.random.key(1), fn, q0, kernel="xla", **kw)
+    assert res_x.kernel_used == "xla"
+    np.testing.assert_allclose(np.asarray(res_f.mean), 0.0, atol=0.05)
+    np.testing.assert_allclose(np.asarray(res_f.var),
+                               np.asarray(res_x.var), rtol=0.15)
+    np.testing.assert_allclose(np.asarray(res_f.mean),
+                               np.asarray(res_x.mean), atol=0.05)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused SMC mutation needs TPU")
+def test_smc_fused_mutation_parity_tpu():
+    """Fused-mutation SMC (potential_scale tempering) must agree with the
+    XLA-mutation path on evidence and posterior spread."""
+    from physicsbasedbayesianinference_tpu import smc
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_standard_normal)
+
+    target = make_standard_normal(8)
+    init_q = 2.0 * jax.random.normal(jax.random.key(0), (4096, 8),
+                                     jnp.float32)
+    kw = dict(beta0=0.1, max_stages=30, num_mutation_steps=3,
+              num_leapfrog_steps=10)
+    r_f = smc.run_smc(jax.random.key(1), target, init_q, kernel="fused",
+                      **kw)
+    r_x = smc.run_smc(jax.random.key(1), target, init_q, kernel="xla",
+                      **kw)
+    np.testing.assert_allclose(float(r_f.log_evidence),
+                               float(r_x.log_evidence), atol=0.3)
+    np.testing.assert_allclose(np.asarray(jnp.var(r_f.q, axis=0)),
+                               1.0, atol=0.15)
+    np.testing.assert_allclose(np.asarray(jnp.mean(r_f.q, axis=0)),
+                               0.0, atol=0.1)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused ChEES sampling needs TPU")
+def test_chees_fused_sampling_parity_tpu():
+    """ChEES with the dynamic-trip-count fused kernel must reproduce the
+    XLA jittered kernel's posterior moments (VERDICT.md round-2 item 5)."""
+    from physicsbasedbayesianinference_tpu.chees import run_chees_hmc
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_gaussian)
+
+    d = 16
+    stds = jnp.logspace(0.0, 0.7, d)
+    target = make_gaussian(jnp.zeros(d), cov=jnp.diag(stds**2))
+    q0 = stds * jax.random.normal(jax.random.key(0), (4096, d),
+                                  jnp.float32)
+    kw = dict(num_warmup=200, num_samples=300, init_step_size=0.3,
+              collect="moments")
+    res_f = run_chees_hmc(jax.random.key(1), target, q0, kernel="fused",
+                          **kw)
+    assert res_f.kernel_used == "fused"
+    res_x = run_chees_hmc(jax.random.key(1), target, q0, kernel="xla",
+                          **kw)
+    np.testing.assert_allclose(np.asarray(res_f.mean),
+                               np.asarray(res_x.mean), atol=0.25)
+    np.testing.assert_allclose(np.asarray(res_f.var),
+                               np.asarray(stds**2), rtol=0.25)

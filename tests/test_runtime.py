@@ -198,3 +198,51 @@ def test_ess_geyer_adaptive_lag_slow_chain():
     tau_true = (1 + phi) / (1 - phi)
     ess_true = t * w / tau_true
     assert 0.5 * ess_true < ess < 2.0 * ess_true, (ess, ess_true)
+
+
+def test_cli_kernel_option(tmp_path):
+    """--kernel flows config -> run_hmc; summary reports the engine that
+    actually ran (graceful xla fallback off-TPU)."""
+    cfg = RunConfig(model="builtin:std_normal_2d", sampler="hmc",
+                    num_walkers=128, num_warmup=20, num_samples=20,
+                    num_steps=4, kernel="fused", collect="moments")
+    summary = run(cfg)
+    assert summary["kernel_used"] in ("fused", "xla")
+    assert "kernel_variant" in summary
+    assert summary["sampling_seconds"] >= 0.0
+    cfg_bad = RunConfig(model="builtin:std_normal_2d", kernel="bogus",
+                        num_walkers=64, num_warmup=4, num_samples=4,
+                        num_steps=2)
+    with pytest.raises(ValueError, match="kernel"):
+        run(cfg_bad)
+
+
+@pytest.mark.parametrize("sampler", ["nuts", "chees"])
+def test_cli_checkpointed_non_hmc_resumes(tmp_path, sampler):
+    """Checkpoint/resume now covers every scan-shaped sampler
+    (VERDICT.md round-2 item 8): a resumed run must continue to the new
+    num_samples and reproduce the exact moments of an uninterrupted run
+    (identical chunk-indexed RNG + Halton schedule)."""
+    ckpt = str(tmp_path / f"ckpt_{sampler}")
+    base = dict(model="builtin:std_normal_2d", sampler=sampler,
+                num_walkers=128, num_warmup=60, num_steps=8,
+                checkpoint_dir=ckpt, checkpoint_every=15, seed=5)
+    s1 = run(RunConfig(num_samples=30, **base))
+    assert s1["resumed_from"] is None
+    assert s1["samples_done"] == 30
+
+    s2 = run(RunConfig(num_samples=60, **base))
+    assert s2["resumed_from"] == 30
+    assert s2["samples_done"] == 60
+    np.testing.assert_allclose(s2["posterior_mean"], 0.0, atol=0.12)
+    np.testing.assert_allclose(s2["posterior_var"], 1.0, atol=0.25)
+
+    # resumed-equality: an uninterrupted run of the full length from a
+    # fresh dir must produce identical streamed moments
+    ckpt2 = str(tmp_path / f"ckpt2_{sampler}")
+    s3 = run(RunConfig(num_samples=60,
+                       **dict(base, checkpoint_dir=ckpt2)))
+    np.testing.assert_allclose(s2["posterior_mean"], s3["posterior_mean"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s2["posterior_var"], s3["posterior_var"],
+                               rtol=1e-5)

@@ -180,3 +180,20 @@ def test_smc_mutation_dual_averaging_tracks_target():
     assert acc[-3:].mean() > 0.5, acc
     assert acc[-3:].mean() < 0.98, acc
     assert float(res.final_step_size) < 2.0
+
+
+def test_smc_kernel_option_cpu_fallback():
+    """run_smc(kernel=...) validates the choice and degrades to the XLA
+    mutation engine off-TPU with unchanged estimates."""
+    target = pot.make_standard_normal(2)
+    init_q = 2.0 * jax.random.normal(jax.random.key(0), (2048, 2))
+    kw = dict(beta0=0.1, max_stages=30, num_mutation_steps=3,
+              num_leapfrog_steps=10)
+    r = smc.run_smc(jax.random.key(1), target, init_q, kernel="fused",
+                    **kw)
+    assert np.isfinite(float(r.log_evidence))
+    np.testing.assert_allclose(np.asarray(jnp.var(r.q, axis=0)),
+                               1.0, atol=0.15)
+    with pytest.raises(ValueError, match="kernel"):
+        smc.run_smc(jax.random.key(2), target, init_q, kernel="nope",
+                    **kw)
