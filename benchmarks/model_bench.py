@@ -17,7 +17,12 @@ from killing the suite):
     python benchmarks/model_bench.py <target> <kind>
 
 targets: std_normal_32 | funnel_16 | eight_schools_nc_p16 | logreg_32_n256
-kinds:   generic | packed | xla
+kinds:   generic | packed | xla | chees
+
+``chees`` is the practitioner's number (VERDICT.md round-2 item 4): the
+recommended *adaptive* sampler (ChEES-adapted trajectory lengths through
+the dynamic-trip-count fused kernel) measured in Geyer **min-ESS/s** on
+the real model, not just raw transitions/s.
 
 Prints one JSON line. ``bench.py`` aggregates these as subprocesses.
 """
@@ -33,11 +38,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import jax
+
+if os.environ.get("PBBI_PLATFORM"):  # CPU smoke-testing escape hatch
+    jax.config.update("jax_platforms", os.environ["PBBI_PLATFORM"])
+
 import jax.numpy as jnp
 
-NUM_WALKERS = 102_400
+NUM_WALKERS = int(os.environ.get("MODEL_BENCH_WALKERS", 102_400))
 NUM_STEPS = 16
-TIMED_TRANSITIONS = 256
+TIMED_TRANSITIONS = int(os.environ.get("MODEL_BENCH_TRANSITIONS", 256))
 
 
 def get_target(name: str):
@@ -104,8 +113,84 @@ def build_transition(pot, d, kind, use_analytic):
     raise ValueError(f"unknown kind {kind!r}")
 
 
+def run_chees_case(name: str) -> None:
+    """ChEES-adapted min-ESS/s on a real model: warmup (XLA jittered
+    kernel + ChEES/dual-averaging adaptation), then a one-dispatch timed
+    scan of Halton-jittered transitions through the fused dynamic-step
+    kernel (falls back to the XLA jittered kernel off-TPU)."""
+    from physicsbasedbayesianinference_tpu.chees import (
+        build_fused_jittered_step, build_jittered_hmc_kernel,
+        halton_sequence, run_chees_hmc)
+    from physicsbasedbayesianinference_tpu.diagnostics import (
+        effective_sample_size)
+
+    pot, d, dt0, _ = get_target(name)
+    ess_walkers = 512
+    max_steps = 256
+    q0 = 0.3 * jax.random.normal(jax.random.key(0), (NUM_WALKERS, d),
+                                 jnp.float32)
+    warm = run_chees_hmc(
+        jax.random.key(1), pot, q0, num_warmup=300, num_samples=0,
+        init_step_size=dt0, max_steps=max_steps, collect="none",
+        kernel="auto")
+    state, eps, tau = warm.state, warm.step_size, warm.trajectory_time
+    fused = None
+    if jax.default_backend() == "tpu":
+        fused = build_fused_jittered_step(pot, num_dims=d,
+                                          max_steps=max_steps)
+    _, step_fn = build_jittered_hmc_kernel(pot, max_steps=max_steps)
+
+    def body(st, xs):
+        k, h = xs
+        n = jnp.clip(jnp.round(2.0 * h * tau / eps).astype(jnp.int32),
+                     1, max_steps)
+        if fused is not None:
+            st, info = fused(k, st, eps, n)
+        else:
+            st, info, _ = step_fn(k, st, eps, n)
+        return st, (st.ensemble.q[:ess_walkers, :min(d, 8)],
+                    jnp.mean(info.accept_prob), n.astype(jnp.float32))
+
+    @jax.jit
+    def runner(st, keys, hs):
+        st, (hist, acc, ns) = jax.lax.scan(body, st, (keys, hs))
+        return st, hist, jnp.mean(acc), jnp.mean(ns)
+
+    keys = jax.random.split(jax.random.key(2), TIMED_TRANSITIONS)
+    hs = jnp.asarray(
+        halton_sequence(300 + TIMED_TRANSITIONS)[300:], jnp.float32)
+    st, hist, acc, ns = runner(state, keys, hs)
+    float(acc)                      # compile + warm; scalar sync
+    t0 = time.time()
+    st, hist, acc, ns = runner(state, keys, hs)
+    a = float(acc)
+    wall = time.time() - t0
+
+    ess = jax.jit(effective_sample_size)(hist)
+    min_ess = float(jnp.min(ess)) * (NUM_WALKERS / ess_walkers)
+    mean_steps = float(ns)
+    print(json.dumps({
+        "target": name,
+        "kind": "chees",
+        "min_ess_per_sec": min_ess / wall,
+        "transitions_per_sec": NUM_WALKERS * TIMED_TRANSITIONS / wall,
+        "grad_evals_per_sec": (NUM_WALKERS * TIMED_TRANSITIONS
+                               * mean_steps / wall),
+        "mean_steps": mean_steps,
+        "trajectory_time": float(tau),
+        "step_size": float(eps),
+        "accept": a,
+        "engine": "fused" if fused is not None else "xla",
+        "wall_seconds": wall,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main() -> None:
     name, kind = sys.argv[1], sys.argv[2]
+    if kind == "chees":
+        run_chees_case(name)
+        return
     pot, d, dt0, use_analytic = get_target(name)
     dt = jnp.float32(dt0)
     vg, trans = build_transition(pot, d, kind, use_analytic)

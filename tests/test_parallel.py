@@ -4,6 +4,8 @@ The distributed-testing capability the reference lacks entirely
 (SURVEY.md §4: "Distributed testing: none exists").
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,3 +119,70 @@ def test_initialize_distributed_single_host_noop():
     summary = par.initialize_distributed()
     assert summary["process_count"] == 1
     assert summary["global_devices"] == 8
+
+
+def test_two_process_distributed_hmc():
+    """REAL multi-process runtime (VERDICT.md round-2 item 2/weak 7): two
+    OS processes x 4 virtual CPU devices each, joined by
+    ``jax.distributed.initialize`` into one 8-device mesh; a sharded sum
+    (cross-process all-reduce) and one sharded HMC transition must agree
+    across processes AND with this process's single-process 8-device
+    reference — the multi-node story the reference planned as an MPI
+    stack (reference manuals/SetUp.md:82-200)."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "distributed_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    for pid, row in enumerate(outs):
+        assert row["process_count"] == 2
+        assert row["process_index"] == pid
+        assert row["global_devices"] == 8
+        assert row["local_devices"] == 4
+
+    # both processes see identical globally-reduced values
+    for key in ("sum", "accept", "mean_q", "mean_u"):
+        np.testing.assert_allclose(outs[0][key], outs[1][key], rtol=1e-6)
+
+    # ... and they match the single-process 8-device reference run here
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.array(jax.devices()), ("walkers",))
+    w, d = 64, 4
+    sharding = NamedSharding(mesh, P("walkers", None))
+    base = np.arange(w * d, dtype=np.float32).reshape(w, d) / (w * d)
+    np.testing.assert_allclose(outs[0]["sum"], base.sum(), rtol=1e-5)
+    qnp = np.asarray(
+        jax.random.normal(jax.random.key(3), (w, d), jnp.float32))
+    q0 = jax.device_put(jnp.asarray(qnp), sharding)
+    kernel = pbbi.build_hmc_kernel(pot.make_standard_normal(d),
+                                   num_steps=4)
+    state = kernel.init(q0)
+    st, info = jax.jit(
+        lambda k, s: kernel.step(k, s, jnp.float32(0.5)))(
+        jax.random.key(0), state)
+    np.testing.assert_allclose(
+        outs[0]["accept"], float(jnp.mean(info.accept_prob)), atol=1e-5)
+    np.testing.assert_allclose(
+        outs[0]["mean_q"], float(jnp.mean(st.ensemble.q)), atol=1e-5)
