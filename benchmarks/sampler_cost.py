@@ -128,7 +128,8 @@ def bench_hmc16(key, pot, q0):
 
 def bench_chees(key, pot, q0):
     from physicsbasedbayesianinference_tpu.chees import (
-        build_jittered_hmc_kernel, halton_sequence, run_chees_hmc)
+        build_fused_jittered_step, build_jittered_hmc_kernel,
+        halton_sequence, run_chees_hmc)
     key, kw = jax.random.split(key)
     res = run_chees_hmc(kw, pot, q0, num_warmup=NUM_WARMUP, num_samples=1,
                         init_step_size=0.2, init_tau=2.0, max_steps=256,
@@ -138,6 +139,12 @@ def bench_chees(key, pot, q0):
     float(step_size)
 
     init_fn, step_fn = build_jittered_hmc_kernel(pot, max_steps=256)
+    # round-3: sampling rides the dynamic-trip-count fused kernel on TPU
+    # (the product path run_chees_hmc(kernel="auto") now takes)
+    fused_step = None
+    if jax.default_backend() == "tpu":
+        fused_step = build_fused_jittered_step(
+            pot, num_dims=NUM_DIMS, max_steps=256)
     t = 512
     # halton jitter rides the scan xs, NOT a carried index: timed_scan
     # re-runs the scan from the warm pass's final carry, and a carried
@@ -149,7 +156,10 @@ def bench_chees(key, pot, q0):
         k, h = xs
         n = jnp.clip(jnp.round(2.0 * h * tau / step_size).astype(jnp.int32),
                      1, 256)
-        st, info, _ = step_fn(k, st, step_size, n)
+        if fused_step is not None:
+            st, info = fused_step(k, st, step_size, n)
+        else:
+            st, info, _ = step_fn(k, st, step_size, n)
         return st, (st.ensemble.q[:ESS_WALKERS],
                     jnp.mean(info.accept_prob),
                     n.astype(jnp.float32))

@@ -300,6 +300,23 @@ def _normal_from_bits(bits1, bits2):
     return r * jnp.cos((2.0 * jnp.pi) * u2)
 
 
+def _normals_both_branches(shape):
+    """[2*R, C] standard normals using BOTH Box-Muller branches
+    (r cos theta AND r sin theta), so each log/sqrt serves two outputs —
+    the momentum refresh is ~1/3 of the roofline's transcendental budget
+    and this halves it. Draws bits for [R, C], returns [2R, C]
+    (row-stacked: full 128-lane rows throughout)."""
+    r_half, c = shape
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits((r_half, c)), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits((r_half, c)), jnp.uint32)
+    u1 = _uniform_from_bits(bits1)
+    u2 = _uniform_from_bits(bits2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * jnp.pi) * u2
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)],
+                           axis=0)
+
+
 def make_fused_hmc_transition(
     vg_fn,
     *,
@@ -381,24 +398,34 @@ def make_fused_hmc_transition(
             u0 = u_ref[:]            # [bw, 1]
             g0 = g_ref[:]
 
-            bits1 = pltpu.bitcast(
-                pltpu.prng_random_bits(q0.shape), jnp.uint32)
-            bits2 = pltpu.bitcast(
-                pltpu.prng_random_bits(q0.shape), jnp.uint32)
-            p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
+            if q0.shape[0] % 2 == 0:
+                p0 = ps_ref[:] * _normals_both_branches(
+                    (q0.shape[0] // 2, q0.shape[1]))
+            else:
+                bits1 = pltpu.bitcast(
+                    pltpu.prng_random_bits(q0.shape), jnp.uint32)
+                bits2 = pltpu.bitcast(
+                    pltpu.prng_random_bits(q0.shape), jnp.uint32)
+                p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
             h0 = 0.5 * jnp.sum(p0 * p0 * im, axis=1, keepdims=True) \
                 + s * u0
 
+            # merged-kick leapfrog (see make_fused_hmc_diag_quadratic):
+            # half-kick in, L x (drift + full kick), half-kick undone
+            dtim = dt * im
+            ck = dt * s
+            p_in = p0 - (0.5 * ck) * g0
+
             def body(_, carry):
                 q, p, u, g = carry
-                p = p - (0.5 * dt * s) * g
-                q = q + dt * p * im
+                q = q + p * dtim
                 u1d, g = vg(q)
-                p = p - (0.5 * dt * s) * g
+                p = p - ck * g
                 return (q, p, u1d[:, None], g)
 
             q1, p1, u1, g1 = jax.lax.fori_loop(
-                0, n_steps, body, (q0, p0, u0, g0))
+                0, n_steps, body, (q0, p_in, u0, g0))
+            p1 = p1 + (0.5 * ck) * g1
             h1 = 0.5 * jnp.sum(p1 * p1 * im, axis=1, keepdims=True) \
                 + s * u1
 
@@ -593,27 +620,36 @@ def make_fused_hmc_packed(
             u0 = u_ref[:]
             g0 = g_ref[:]
 
-            bits1 = pltpu.bitcast(
-                pltpu.prng_random_bits(q0.shape), jnp.uint32)
-            bits2 = pltpu.bitcast(
-                pltpu.prng_random_bits(q0.shape), jnp.uint32)
-            p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
+            if q0.shape[0] % 2 == 0:
+                p0 = ps_ref[:] * _normals_both_branches(
+                    (q0.shape[0] // 2, q0.shape[1]))
+            else:
+                bits1 = pltpu.bitcast(
+                    pltpu.prng_random_bits(q0.shape), jnp.uint32)
+                bits2 = pltpu.bitcast(
+                    pltpu.prng_random_bits(q0.shape), jnp.uint32)
+                p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
 
             def seg_sum(x):  # (br, pack*d) -> (br, pack)
                 return jnp.dot(x, s_mat, preferred_element_type=dtype)
 
             h0 = 0.5 * seg_sum(p0 * p0 * im) + s * u0
 
+            # merged-kick leapfrog (see make_fused_hmc_diag_quadratic)
+            dtim = dt * im
+            ck = dt * s
+            p_in = p0 - (0.5 * ck) * g0
+
             def body(_, carry):
                 q, p, g = carry
-                p = p - (0.5 * dt * s) * g
-                q = q + dt * p * im
+                q = q + p * dtim
                 g = grad_fn(q)
-                p = p - (0.5 * dt * s) * g
+                p = p - ck * g
                 return (q, p, g)
 
             q1, p1, g1 = jax.lax.fori_loop(
-                0, n_steps, body, (q0, p0, g0))
+                0, n_steps, body, (q0, p_in, g0))
+            p1 = p1 + (0.5 * ck) * g1
             u1 = value_fn(q1)
             h1 = 0.5 * seg_sum(p1 * p1 * im) + s * u1
 
@@ -765,11 +801,15 @@ def make_fused_hmc_diag_quadratic(
             st_mat = st_ref[:]
             q0 = q_ref[:]
 
-            bits1 = pltpu.bitcast(
-                pltpu.prng_random_bits(q0.shape), jnp.uint32)
-            bits2 = pltpu.bitcast(
-                pltpu.prng_random_bits(q0.shape), jnp.uint32)
-            p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
+            if q0.shape[0] % 2 == 0:
+                p0 = ps_ref[:] * _normals_both_branches(
+                    (q0.shape[0] // 2, q0.shape[1]))
+            else:
+                bits1 = pltpu.bitcast(
+                    pltpu.prng_random_bits(q0.shape), jnp.uint32)
+                bits2 = pltpu.bitcast(
+                    pltpu.prng_random_bits(q0.shape), jnp.uint32)
+                p0 = ps_ref[:] * _normal_from_bits(bits1, bits2)
 
             def seg_sum(x):  # (br, pack*d) -> (br, pack)
                 return jnp.dot(x, s_mat, preferred_element_type=dtype)
@@ -778,15 +818,24 @@ def make_fused_hmc_diag_quadratic(
             u0 = 0.5 * seg_sum(k * qc0 * qc0)
             h0 = 0.5 * seg_sum(p0 * p0 * im) + s * u0
 
+            # Merged-kick leapfrog: the two half-kicks of consecutive
+            # steps combine into one full kick (identical trajectory up
+            # to fp rounding, ~25% fewer VPU ops in the roofline-bound
+            # loop). Half-kick in, L x (drift + full kick), half-kick
+            # undone at the end.
+            dtim = dt * im
+            ck = dt * s
+            p_in = p0 - (0.5 * ck) * (k * qc0)
+
             def body(_, carry):
                 q, p = carry
-                p = p - (0.5 * dt * s) * (k * (q - mu))
-                q = q + dt * p * im
-                p = p - (0.5 * dt * s) * (k * (q - mu))
+                q = q + p * dtim
+                p = p - ck * (k * (q - mu))
                 return (q, p)
 
-            q1, p1 = jax.lax.fori_loop(0, num_steps, body, (q0, p0))
+            q1, p1 = jax.lax.fori_loop(0, num_steps, body, (q0, p_in))
             qc1 = q1 - mu
+            p1 = p1 + (0.5 * ck) * (k * qc1)
             u1 = 0.5 * seg_sum(k * qc1 * qc1)
             h1 = 0.5 * seg_sum(p1 * p1 * im) + s * u1
 

@@ -477,3 +477,39 @@ def test_chees_fused_sampling_parity_tpu():
                                np.asarray(res_x.mean), atol=0.25)
     np.testing.assert_allclose(np.asarray(res_f.var),
                                np.asarray(stds**2), rtol=0.25)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="TPU hardware PRNG")
+def test_inkernel_both_branch_normals_tpu():
+    """The dual-branch Box-Muller used for the momentum refresh
+    (one log/sqrt per TWO normals) must still be exactly N(0,1) in both
+    halves, with no correlation between the cos- and sin-branch outputs
+    of the same (u1, u2) pair."""
+    import scipy.stats as sps
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        _normals_both_branches)
+
+    rows, cols = 512, 128
+
+    def kern(seed_ref, n_out):
+        pltpu.prng_seed(seed_ref[0, 0])
+        n_out[:] = _normals_both_branches((rows, cols))
+
+    z = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=jax.ShapeDtypeStruct((2 * rows, cols), jnp.float32),
+    )(jnp.asarray([[77]], jnp.int32))
+    z = np.asarray(z)
+    cos_half = z[:rows].reshape(-1)
+    sin_half = z[rows:].reshape(-1)
+    assert sps.kstest(cos_half, "norm").pvalue > 1e-3
+    assert sps.kstest(sin_half, "norm").pvalue > 1e-3
+    # r cos(t) and r sin(t) from the same pair are uncorrelated
+    assert abs(np.corrcoef(cos_half, sin_half)[0, 1]) < 0.02
+    full = z.reshape(-1)
+    np.testing.assert_allclose(full.mean(), 0.0, atol=0.02)
+    np.testing.assert_allclose(full.var(), 1.0, rtol=0.02)
