@@ -107,6 +107,12 @@ def run(cfg: RunConfig) -> dict:
         mesh = make_walker_mesh()
         init_q = jax.device_put(
             init_q, NamedSharding(mesh, P(WALKER_AXIS, None)))
+        if cfg.kernel == "auto" and len(jax.devices()) > 1:
+            # GSPMD cannot partition a pallas_call; the fused multi-chip
+            # path is parallel.sharded.build_sharded_hmc_step (shard_map)
+            cfg.kernel = "xla"
+            print("# sharded run: kernel=auto -> xla (GSPMD path)",
+                  file=sys.stderr)
 
     print(f"# model={cfg.model} sampler={cfg.sampler} "
           f"walkers={cfg.num_walkers} dims={init_q.shape[-1]} "

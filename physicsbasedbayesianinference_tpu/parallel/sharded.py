@@ -110,12 +110,20 @@ def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
     walker axis automatically and inserts the (scalar) collectives for the
     adaptation reductions. Results match the unsharded run with the same key
     up to floating-point reduction order.
+
+    The kernel is pinned to ``"xla"`` (unless the caller overrides):
+    GSPMD cannot partition a ``pallas_call``, so the fused engine under
+    auto-sharding would force a gather onto one device. The fused
+    multi-chip path is :func:`build_sharded_hmc_step` — pass it a
+    ``build_fused_hmc_kernel(...)`` kernel and each device runs the
+    pallas transition on its own walker shard inside ``shard_map``.
     """
     from ..hmc import run_hmc
     from .mesh import make_walker_mesh
 
     if mesh is None:
         mesh = make_walker_mesh()
+    run_kwargs.setdefault("kernel", "xla")
     init_q = jnp.asarray(init_q)
     if init_q.shape[0] % mesh.devices.size != 0:
         raise ValueError(
