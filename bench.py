@@ -24,9 +24,14 @@ backend — synchronisation is via scalar readback.
 """
 
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("PBBI_PLATFORM"):  # CPU smoke-testing escape hatch
+    jax.config.update("jax_platforms", os.environ["PBBI_PLATFORM"])
+
 import jax.numpy as jnp
 
 import physicsbasedbayesianinference_tpu as pbbi
@@ -35,11 +40,11 @@ from physicsbasedbayesianinference_tpu.ops import potentials as pot
 
 REF_GRAD_EVALS_PER_SEC = 220.0  # measured: benchmarks/measure_reference.py
 
-NUM_WALKERS = 102_400
+NUM_WALKERS = int(os.environ.get("BENCH_WALKERS", 102_400))
 NUM_DIMS = 32
 NUM_STEPS = 16
 ADAPT_ITERS = 40
-TIMED_TRANSITIONS = 256
+TIMED_TRANSITIONS = int(os.environ.get("BENCH_TRANSITIONS", 256))
 ESS_WALKERS = 512
 ESS_DIMS = 4
 MAX_LAG = 64
@@ -128,7 +133,7 @@ def main():
     result = {
         "metric": "effective_samples_per_sec_per_chip",
         "value": round(ess_per_sec / n_chips, 1),
-        "unit": "ESS/s/chip (32-dim std normal, 102400 walkers, 16-step HMC)",
+        "unit": f"ESS/s/chip (32-dim std normal, {NUM_WALKERS} walkers, 16-step HMC)",
         "vs_baseline": round(grad_evals_per_sec / REF_GRAD_EVALS_PER_SEC, 1),
         "detail": {
             "walker_transitions_per_sec": round(walker_transitions_per_sec),
@@ -239,11 +244,21 @@ def model_benches():
                 tail = ""
                 try:
                     text = (r.stderr or r.stdout or "").strip()
-                    for ln in reversed(text.splitlines()):
-                        if ln.strip() and "WARNING" not in ln \
-                                and not ln.startswith("["):
-                            tail = ln.strip()[-300:]
+                    lines = [ln.strip() for ln in text.splitlines()
+                             if ln.strip()]
+                    # prefer the actual exception line ("FooError: ...")
+                    for ln in reversed(lines):
+                        if ("Error" in ln or "Exception" in ln) \
+                                and ":" in ln and "WARNING" not in ln \
+                                and "removed its internal" not in ln:
+                            tail = ln[-300:]
                             break
+                    if not tail:
+                        for ln in reversed(lines):
+                            if "WARNING" not in ln \
+                                    and not ln.startswith("["):
+                                tail = ln[-300:]
+                                break
                 except Exception:
                     pass
                 out.setdefault(target, {})[kind] = {
