@@ -27,6 +27,20 @@ import json
 import os
 import time
 
+_SCRIPT_T0 = time.time()
+# One global wall budget for the WHOLE script (headline + extras).
+# Round-3 lesson (VERDICT.md r3, weak #1): the single JSON line printed
+# only after the model sweep, so when the sweep overran the driver's
+# timeout the already-measured headline was discarded (BENCH_r03.json =
+# rc=124/null). Now the headline prints+flushes the moment it exists and
+# every extra derives its remaining time from this budget.
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "900"))
+
+
+def _remaining() -> float:
+    return TOTAL_BUDGET_S - (time.time() - _SCRIPT_T0)
+
+
 import jax
 
 if os.environ.get("PBBI_PLATFORM"):  # CPU smoke-testing escape hatch
@@ -62,7 +76,7 @@ def device_ess_fraction(hist):
         prod = x[:t - lag] * x[lag:]
         return jnp.mean(jnp.mean(prod, axis=0) / var)
 
-    rhos = jnp.stack([rho(lag) for lag in range(1, MAX_LAG)])
+    rhos = jnp.stack([rho(lag) for lag in range(1, min(MAX_LAG, t))])
     # truncate at first negative autocorrelation
     positive = jnp.cumprod(rhos > 0.0) > 0
     tau = 1.0 + 2.0 * jnp.sum(jnp.where(positive, rhos, 0.0))
@@ -148,8 +162,20 @@ def main():
             "baseline_grad_evals_per_sec": REF_GRAD_EVALS_PER_SEC,
         },
     }
-    result["detail"]["run_hmc_surface"] = run_hmc_surface_bench(
-        target, step_size)
+    # FAIL-SAFE: the headline is a complete record on its own — print and
+    # flush it NOW, before any extra measurement can hang or overrun.
+    # The driver parses the LAST stdout line, so the enriched second line
+    # below supersedes this one when (and only when) the extras finish.
+    print(json.dumps(result), flush=True)
+
+    if _remaining() > 120.0:
+        try:
+            result["detail"]["run_hmc_surface"] = run_hmc_surface_bench(
+                target, step_size)
+        except Exception as e:  # headline must survive any extra's failure
+            result["detail"]["run_hmc_surface"] = {"error": repr(e)[:300]}
+    else:
+        result["detail"]["run_hmc_surface"] = {"skipped": "budget"}
     models = model_benches()
     result["detail"]["models"] = models
     best = None
@@ -165,7 +191,7 @@ def main():
         # practitioner actually buys — adaptive-sampler min-ESS/s on a
         # real model, not transitions/s on a synthetic one
         result["detail"]["real_model_chees_min_ess_per_sec"] = best
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 def run_hmc_surface_bench(target, step_size):
@@ -197,9 +223,10 @@ def model_benches():
     """Real-model benches (VERDICT.md round-1 item 1 / round-2 items 3+4):
     each case in its own subprocess (benchmarks/model_bench.py) so a
     tunnel hang or per-case compile failure cannot take down the headline
-    measurement above. A GLOBAL wall budget (default 1500 s, env
-    BENCH_MODEL_BUDGET_S) bounds the whole sweep — pallas compiles are
-    slow on this 2-CPU host, and the headline JSON must always print.
+    measurement above (which is ALREADY printed by the time this runs).
+    The sweep spends whatever is left of the script-global
+    BENCH_TOTAL_BUDGET_S (overridable with BENCH_MODEL_BUDGET_S) —
+    pallas compiles are slow on this 2-CPU host.
     Every cell carries a number or a REASON (no silent nulls —
     round-2 item 3): success -> transitions/s (dict with min_ess_per_sec
     for the chees kind), budget exhaustion -> {"skipped": "budget"},
@@ -210,7 +237,8 @@ def model_benches():
     import sys as _sys
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "model_bench.py")
-    budget = float(os.environ.get("BENCH_MODEL_BUDGET_S", "1500"))
+    budget = float(os.environ.get("BENCH_MODEL_BUDGET_S",
+                                  str(max(_remaining(), 0.0))))
     deadline = time.time() + budget
     out: dict = {}
     for target in ("funnel_16", "eight_schools_nc_p16", "logreg_32_n256"):

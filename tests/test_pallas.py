@@ -513,3 +513,219 @@ def test_inkernel_both_branch_normals_tpu():
     full = z.reshape(-1)
     np.testing.assert_allclose(full.mean(), 0.0, atol=0.02)
     np.testing.assert_allclose(full.var(), 1.0, rtol=0.02)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="TPU hardware PRNG")
+def test_fused_emit_proposal_consistency_tpu():
+    """The emit_proposal kernel variants must (a) leave the transition's
+    own outputs bit-identical to the plain variant at equal seed (the
+    proposal writes add outputs, never PRNG consumption), and (b) emit a
+    proposal endpoint consistent with the accept-select:
+    q' == where(accepted, q_prop, q0)."""
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_packed, make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad, make_funnel, make_standard_normal)
+
+    d, w = 16, 1024
+    dt = jnp.float32(0.2)
+    seed = jnp.int32(1234)
+    for maker in ("generic", "packed"):
+        fn = make_funnel(d) if maker == "generic" else \
+            make_standard_normal(d)
+        vg = batched_value_and_grad(fn)
+        q0 = jax.random.normal(jax.random.key(3), (w, d), jnp.float32)
+        u0, g0 = vg(q0)
+        if maker == "generic":
+            plain = make_fused_hmc_transition(
+                vg, num_steps=64, dynamic_steps=True)
+            prop = make_fused_hmc_transition(
+                vg, num_steps=64, dynamic_steps=True, emit_proposal=True)
+        else:
+            plain = make_fused_hmc_packed(
+                fn, num_dims=d, num_steps=64, dynamic_steps=True)
+            prop = make_fused_hmc_packed(
+                fn, num_dims=d, num_steps=64, dynamic_steps=True,
+                emit_proposal=True)
+        kw = dict(step_size=dt, p_std=1.0, inv_mass=1.0, beta=1.0,
+                  num_steps=jnp.int32(9))
+        outs_a = jax.jit(lambda: plain(seed, q0, u0, g0, **kw))()
+        outs_b = jax.jit(lambda: prop(seed, q0, u0, g0, **kw))()
+        for a, b in zip(outs_a, outs_b[:6]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        q1, _, _, _, accepted, _, q_prop, p_prop = outs_b
+        sel = np.asarray(accepted)[:, None]
+        np.testing.assert_allclose(
+            np.asarray(q1),
+            np.where(sel, np.asarray(q_prop), np.asarray(q0)),
+            rtol=1e-6, atol=1e-6)
+        # the flipped-endpoint convention: re-integrating BACK from
+        # (q_prop, p_prop) with the same step count returns to q0
+        # (leapfrog reversibility) — checked statistically via energy:
+        # |H(q_prop, p_prop) - H(q0, p0)| is the kernel's energy error,
+        # so the proposal must not be the *accepted* state (which would
+        # make rejected walkers' proposals equal q0)
+        rej = ~np.asarray(accepted)
+        if rej.sum() > 0:
+            assert not np.allclose(np.asarray(q_prop)[rej],
+                                   np.asarray(q0)[rej])
+        assert np.isfinite(np.asarray(p_prop)).all()
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused ChEES warmup needs TPU")
+def test_chees_fused_warmup_parity_tpu():
+    """VERDICT.md round-3 item 4: warmup itself must run on the fused
+    path (emit_proposal kernels) and adapt to the same (tau, step size)
+    regime and posterior moments as the XLA warmup."""
+    from physicsbasedbayesianinference_tpu.chees import run_chees_hmc
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_gaussian)
+
+    d = 16
+    stds = jnp.logspace(0.0, 0.7, d)
+    target = make_gaussian(jnp.zeros(d), cov=jnp.diag(stds**2))
+    q0 = stds * jax.random.normal(jax.random.key(0), (4096, d),
+                                  jnp.float32)
+    kw = dict(num_warmup=300, num_samples=300, init_step_size=0.3,
+              collect="moments")
+    res_f = run_chees_hmc(jax.random.key(1), target, q0, kernel="fused",
+                          **kw)
+    assert res_f.kernel_used == "fused"
+    res_x = run_chees_hmc(jax.random.key(1), target, q0, kernel="xla",
+                          **kw)
+    # adaptation endpoints agree to within stochastic wiggle
+    assert 0.5 < float(res_f.trajectory_time / res_x.trajectory_time) < 2.0
+    assert 0.5 < float(res_f.step_size / res_x.step_size) < 2.0
+    np.testing.assert_allclose(np.asarray(res_f.mean),
+                               np.asarray(res_x.mean), atol=0.25)
+    np.testing.assert_allclose(np.asarray(res_f.var),
+                               np.asarray(stds**2), rtol=0.25)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused kernel inside shard_map needs TPU")
+def test_sharded_fused_hmc_step_tpu():
+    """VERDICT.md round-3 item 3: the documented multi-chip fused
+    composition — build_sharded_hmc_step(build_fused_hmc_kernel(...)) —
+    must actually compile and run on TPU hardware (Mosaic inside
+    shard_map with check_vma=False) and match the unsharded fused
+    kernel's equilibrium moments on a 1-device mesh."""
+    import numpy as onp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from physicsbasedbayesianinference_tpu.hmc import (
+        build_fused_hmc_kernel)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_standard_normal)
+    from physicsbasedbayesianinference_tpu.parallel import (
+        mesh as meshmod, sharded)
+
+    d, w, steps = 32, 8192, 8
+    fn = make_standard_normal(d)
+    kernel = build_fused_hmc_kernel(fn, num_steps=steps)
+    mesh = Mesh(onp.array(jax.devices()[:1]), (meshmod.WALKER_AXIS,))
+    q0 = jax.random.normal(jax.random.key(0), (w, d), jnp.float32)
+    q0 = jax.device_put(
+        q0, NamedSharding(mesh, P(meshmod.WALKER_AXIS, None)))
+    state = kernel.init(q0)
+    step = sharded.build_sharded_hmc_step(kernel, mesh, state)
+
+    # drive to equilibrium and collect moments over transitions
+    eps = jnp.float32(0.6)
+    means, vars_, accs = [], [], []
+    for i in range(40):
+        state, info, stats = step(jax.random.key(i), state, eps)
+        if i >= 10:
+            q = np.asarray(state.ensemble.q)
+            means.append(q.mean())
+            vars_.append(q.var())
+            accs.append(float(stats["accept_rate"]))
+    assert 0.5 < np.mean(accs) <= 1.0
+    np.testing.assert_allclose(np.mean(means), 0.0, atol=0.03)
+    np.testing.assert_allclose(np.mean(vars_), 1.0, rtol=0.05)
+
+    # and the same composition with the UNSHARDED fused kernel agrees
+    state_u = kernel.init(jax.random.normal(
+        jax.random.key(0), (w, d), jnp.float32))
+    vars_u = []
+    for i in range(40):
+        state_u, _ = kernel.step(jax.random.key(i), state_u, eps)
+        if i >= 10:
+            vars_u.append(np.asarray(state_u.ensemble.q).var())
+    np.testing.assert_allclose(np.mean(vars_), np.mean(vars_u),
+                               rtol=0.05)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused PT replica sweeps need TPU")
+def test_pt_fused_parity_tpu():
+    """Parallel tempering with the fused replica kernel (per-replica
+    beta/step-size riding the SMEM scalars) must reproduce the XLA
+    path's cold-replica posterior and healthy swap behaviour
+    (VERDICT.md round-3 item 5)."""
+    from physicsbasedbayesianinference_tpu.tempering import (
+        run_parallel_tempering)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_gaussian_mixture)
+
+    # bimodal target: the PT ladder's job
+    target = make_gaussian_mixture(
+        jnp.array([[-3.0, 0.0], [3.0, 0.0]]), sigma=0.8)
+    q0 = jax.random.normal(jax.random.key(0), (2048, 2), jnp.float32)
+    kw = dict(num_replicas=6, num_warmup=150, num_samples=400,
+              num_steps=10, collect="moments")
+    r_f = run_parallel_tempering(jax.random.key(1), target, q0,
+                                 kernel="fused", **kw)
+    assert r_f.kernel_used == "fused"
+    r_x = run_parallel_tempering(jax.random.key(1), target, q0,
+                                 kernel="xla", **kw)
+    assert r_x.kernel_used == "xla"
+    # both modes visited: cold-replica mean ~ 0, var along x ~ 3^2 + 0.64
+    np.testing.assert_allclose(np.asarray(r_f.mean),
+                               np.asarray(r_x.mean), atol=0.6)
+    np.testing.assert_allclose(np.asarray(r_f.var)[0],
+                               np.asarray(r_x.var)[0], rtol=0.3)
+    assert float(jnp.mean(r_f.swap_rate[:-1])) > 0.05
+    np.testing.assert_allclose(np.asarray(r_f.accept_rate),
+                               np.asarray(r_x.accept_rate), atol=0.15)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="bf16 trajectory experiment needs TPU")
+def test_packed_bf16_trajectory_statistics_tpu():
+    """trajectory_dtype=bf16 (VERDICT.md round-3 item 6): the reduced-
+    precision trajectory must keep (a) equilibrium moments within MC
+    error of the exact target, and (b) the f32-measured energy-error
+    distribution bounded — the Metropolis test rejects rounded
+    trajectories that drift, so correctness degrades into acceptance
+    rate, never into the invariant distribution's moments."""
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_diag_quadratic)
+
+    w, d, steps = 16384, 32, 16
+    q = jax.random.normal(jax.random.key(0), (w, d), jnp.float32)
+    trans = make_fused_hmc_diag_quadratic(
+        num_steps=steps, trajectory_dtype=jnp.bfloat16)
+
+    @jax.jit
+    def chain(q, seeds):
+        def body(q, seed):
+            q, g, u, acc, taken, derr = trans(
+                seed, q, step_size=jnp.float32(0.6), p_std=1.0,
+                inv_mass=1.0, beta=1.0, k_diag=1.0, mean=0.0)
+            return q, (jnp.mean(acc), jnp.mean(jnp.abs(derr)))
+        return jax.lax.scan(body, q, seeds)
+
+    seeds = jax.random.randint(jax.random.key(1), (100,), -2**31,
+                               2**31 - 1, dtype=jnp.int32)
+    q, (accs, abs_errs) = chain(q, seeds)
+    q = np.asarray(q)
+    acc = float(jnp.mean(accs[50:]))
+    # bf16 rounding inflates |dE| but must stay O(0.1) k_B T at this
+    # step size — far from the 1000 k_B T divergence threshold
+    assert float(jnp.mean(abs_errs[50:])) < 2.0
+    assert 0.3 < acc <= 1.0, acc
+    np.testing.assert_allclose(q.mean(), 0.0, atol=0.02)
+    np.testing.assert_allclose(q.var(), 1.0, rtol=0.03)
+    np.testing.assert_allclose(q.var(axis=0).mean(), 1.0, rtol=0.03)

@@ -217,16 +217,20 @@ def test_cli_kernel_option(tmp_path):
         run(cfg_bad)
 
 
-@pytest.mark.parametrize("sampler", ["nuts", "chees"])
+@pytest.mark.parametrize("sampler", ["nuts", "chees", "pt"])
 def test_cli_checkpointed_non_hmc_resumes(tmp_path, sampler):
     """Checkpoint/resume now covers every scan-shaped sampler
-    (VERDICT.md round-2 item 8): a resumed run must continue to the new
-    num_samples and reproduce the exact moments of an uninterrupted run
-    (identical chunk-indexed RNG + Halton schedule)."""
+    (VERDICT.md round-2 item 8; round-3 item 5 adds pt — replica state is
+    a plain pytree, per-replica step sizes ride the payload): a resumed
+    run must continue to the new num_samples and reproduce the exact
+    moments of an uninterrupted run (identical chunk-indexed RNG +
+    Halton schedule)."""
     ckpt = str(tmp_path / f"ckpt_{sampler}")
     base = dict(model="builtin:std_normal_2d", sampler=sampler,
                 num_walkers=128, num_warmup=60, num_steps=8,
                 checkpoint_dir=ckpt, checkpoint_every=15, seed=5)
+    if sampler == "pt":
+        base.update(num_warmup=30, pt_replicas=4)
     s1 = run(RunConfig(num_samples=30, **base))
     assert s1["resumed_from"] is None
     assert s1["samples_done"] == 30
@@ -246,3 +250,49 @@ def test_cli_checkpointed_non_hmc_resumes(tmp_path, sampler):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(s2["posterior_var"], s3["posterior_var"],
                                rtol=1e-5)
+
+
+def test_cli_checkpointed_smc_resumes(tmp_path):
+    """Fault-tolerant SMC (VERDICT.md round-3 item 5): the stage carry
+    checkpoints after every annealing stage; a run resumed from an
+    intermediate stage checkpoint must reproduce the uninterrupted run's
+    final evidence and posterior exactly (the RNG key rides in the
+    carry)."""
+    import shutil
+
+    ckpt_a = tmp_path / "smc_a"
+    # 32-dim target from a near-flat start so the ESS-adaptive ladder
+    # genuinely needs several stages (2-D from beta0=0.1 finishes in one)
+    base = dict(model="builtin:std_normal_32d", sampler="smc",
+                num_walkers=256, num_steps=8, smc_beta0=0.02,
+                smc_max_stages=25, seed=3)
+    s1 = run(RunConfig(checkpoint_dir=str(ckpt_a), **base))
+    assert s1["resumed_from"] is None
+    assert s1["checkpoints_written"] == s1["num_stages"]
+    # resampling correlates walkers: effective N << 256, so per-dim MC
+    # error is a few x 1/sqrt(256)
+    np.testing.assert_allclose(s1["posterior_mean"], 0.0, atol=0.4)
+
+    # simulate an interruption: seed a fresh dir with an INTERMEDIATE
+    # stage checkpoint (retention keeps the last 3) and re-run
+    stages = sorted(int(p.name) for p in ckpt_a.iterdir()
+                    if p.name.isdigit())
+    assert len(stages) >= 2
+    mid = stages[0]
+    assert mid < s1["num_stages"]
+    ckpt_b = tmp_path / "smc_b"
+    ckpt_b.mkdir()
+    shutil.copytree(ckpt_a / str(mid), ckpt_b / str(mid))
+    s2 = run(RunConfig(checkpoint_dir=str(ckpt_b), **base))
+    assert s2["resumed_from"] == mid
+    assert s2["num_stages"] == s1["num_stages"]
+    np.testing.assert_allclose(s2["log_evidence"], s1["log_evidence"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s2["posterior_mean"], s1["posterior_mean"],
+                               rtol=1e-5, atol=1e-6)
+
+    # a completed run resumed again is a no-op that returns the result
+    s3 = run(RunConfig(checkpoint_dir=str(ckpt_a), **base))
+    assert s3["checkpoints_written"] == 0
+    np.testing.assert_allclose(s3["log_evidence"], s1["log_evidence"],
+                               rtol=1e-5, atol=1e-5)

@@ -130,3 +130,24 @@ def test_pt_replicas_sharded_over_mesh():
                                np.asarray(res_plain.var), atol=1.0)
     # both modes of the bimodal target reached by the cold chain
     assert res_sh.var[0] > 4.0
+
+
+def test_pt_kernel_option_cpu_fallback():
+    """kernel='fused' degrades gracefully to the XLA path off-TPU and
+    the PTResult reports the engine that actually ran (mirrors
+    run_hmc/run_chees_hmc's contract)."""
+    import jax
+    import jax.numpy as jnp
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_standard_normal)
+    from physicsbasedbayesianinference_tpu.tempering import (
+        run_parallel_tempering)
+
+    r = run_parallel_tempering(
+        jax.random.key(0), make_standard_normal(4),
+        jax.random.normal(jax.random.key(1), (128, 4)),
+        num_replicas=3, num_warmup=10, num_samples=10, collect="none",
+        kernel="fused")
+    expected = "fused" if jax.default_backend() == "tpu" else "xla"
+    assert r.kernel_used == expected
+    assert r.q.shape == (3, 128, 4)
