@@ -172,6 +172,77 @@ def bench_chees(key, pot, q0):
     return hist, acc, ns, wall, t, float(step_size)
 
 
+def bench_chees_warmup(key, pot, q0):
+    """Warmup-PHASE engine comparison (VERDICT.md round-3 item 4): the
+    complete ChEES warmup body — jittered transition + criterion
+    gradient (needs the pre-accept proposal endpoint) + Adam on log-tau
+    + dual averaging — timed with the XLA jittered kernel vs the
+    ``emit_proposal`` fused pallas kernel. Off-TPU only the XLA leg
+    runs. Prints its own JSON line and exits."""
+    from physicsbasedbayesianinference_tpu.adaptation import (
+        da_init, da_update)
+    from physicsbasedbayesianinference_tpu.chees import (
+        build_fused_jittered_step, build_jittered_hmc_kernel,
+        chees_gradient, chees_init, chees_update, halton_sequence)
+
+    init_fn, step_fn = build_jittered_hmc_kernel(pot, max_steps=256)
+    fused = None
+    if jax.default_backend() == "tpu":
+        fused = build_fused_jittered_step(
+            pot, num_dims=NUM_DIMS, max_steps=256, emit_proposal=True)
+    t = 256
+    haltons = jnp.asarray(halton_sequence(t), jnp.float32)
+    state = init_fn(q0)
+    out = {"sampler": "chees_warmup", "num_walkers": NUM_WALKERS,
+           "timed_transitions": t, "device": str(jax.devices()[0])}
+    for tag in ["xla"] + (["fused"] if fused is not None else []):
+        sfn = step_fn if tag == "xla" else fused
+
+        @jax.jit
+        def warm(state, keys, haltons, sfn=sfn):
+            da = da_init(jnp.float32(0.2))
+            ch = chees_init(2.0)
+
+            def body(carry, xs):
+                st, da, ch = carry
+                k, h = xs
+                eps = jnp.exp(da.log_step)
+                n = jnp.clip(
+                    jnp.round(2.0 * h * jnp.exp(ch.log_tau) / eps
+                              ).astype(jnp.int32), 1, 256)
+                q_before = st.ensemble.q
+                st, info, (q1, p1) = sfn(k, st, eps, n)
+                da = da_update(da, jnp.mean(info.accept_prob), target=0.8)
+                g = chees_gradient(q_before, q1, p1, info.accept_prob,
+                                   h, 1.0)
+                ch = chees_update(ch, g)
+                return (st, da, ch), jnp.mean(info.accept_prob)
+
+            (st, da, ch), accs = jax.lax.scan(
+                body, (state, da, ch), (keys, haltons))
+            return st, jnp.exp(da.log_avg_step), jnp.exp(ch.log_tau), \
+                jnp.mean(accs)
+
+        keys = jax.random.split(jax.random.key(7), t)
+        _, eps, tau, acc = warm(state, keys, haltons)
+        float(acc)  # compile + sync
+        t0 = time.time()
+        _, eps, tau, acc = warm(state, keys, haltons)
+        float(acc)
+        wall = time.time() - t0
+        out[tag] = {
+            "warmup_transitions_per_sec": round(NUM_WALKERS * t / wall),
+            "adapted_tau": round(float(tau), 3),
+            "adapted_eps": round(float(eps), 4),
+            "accept": round(float(acc), 3),
+            "wall_seconds": round(wall, 3)}
+    if "fused" in out:
+        out["warmup_speedup_fused_vs_xla"] = round(
+            out["fused"]["warmup_transitions_per_sec"]
+            / out["xla"]["warmup_transitions_per_sec"], 2)
+    print(json.dumps(out))
+
+
 def bench_nuts(key, pot, q0):
     from physicsbasedbayesianinference_tpu.nuts import (
         build_nuts_kernel, run_nuts)
@@ -201,6 +272,9 @@ def main():
     pot, stds = make_target()
     q0 = stds * jax.random.normal(jax.random.key(0),
                                   (NUM_WALKERS, NUM_DIMS), jnp.float32)
+    if name == "chees_warmup":
+        bench_chees_warmup(jax.random.key(1), pot, q0)
+        return
     fn = {"hmc16": bench_hmc16, "chees": bench_chees, "nuts": bench_nuts}[name]
     hist, acc, mean_steps, wall, t, step_size = fn(jax.random.key(1), pot, q0)
 

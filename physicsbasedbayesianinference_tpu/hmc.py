@@ -250,6 +250,61 @@ def resolve_kernel_choice(kernel: str, *,
     return "fused" if fused_ok else "xla"
 
 
+# Cross-call caches (VERDICT r4: the product surface paid ~4 s of
+# per-call fixed overhead — rebuilding the kernel and re-jitting the
+# sampling scan on every run_hmc invocation forced a fresh trace +
+# compile-cache round trip through the TPU tunnel, burying the ~180M
+# transitions/s steady state under bookkeeping for short runs).
+# Keyed by object identity of the potential/kernel (strong refs pinned in
+# the value so ids stay valid); unhashable configs (array temperature)
+# simply skip the cache.
+_KERNEL_CACHE: dict = {}
+_SCAN_CACHE: dict = {}
+
+
+def _sample_scan_for(kernel: HMCKernel, collect: str):
+    """A jitted sampling scan reusable across run_hmc calls for the same
+    built kernel: step_size and the streaming-moment carry ride as
+    arguments, so repeated runs (bench double-call, CLI re-invocations
+    in-process, chunked drivers) hit jax.jit's cache instead of
+    re-tracing."""
+    cache_key = (id(kernel), collect)
+    hit = _SCAN_CACHE.get(cache_key)
+    if hit is not None:
+        return hit[0]
+
+    @jax.jit
+    def scan_fn(state, keys, step_size, mean0, m2_0, n0):
+        dtype = state.ensemble.q.dtype
+
+        def body(carry, key):
+            st, mean, m2, n = carry
+            new_st, info = kernel.step(key, st, step_size)
+            out = {}
+            scal = {
+                "accept": jnp.mean(info.accept_prob),
+                "div": jnp.mean(info.divergent.astype(dtype)),
+            }
+            if collect == "samples":
+                out["q"] = new_st.ensemble.q
+            elif collect == "moments":
+                q = new_st.ensemble.q
+                w = q.shape[0]
+                n_new = n + w
+                batch_mean = jnp.mean(q, axis=0)
+                delta = batch_mean - mean
+                mean = mean + delta * (w / n_new)
+                batch_m2 = jnp.sum((q - batch_mean) ** 2, axis=0)
+                m2 = m2 + batch_m2 + delta**2 * (n * w / n_new)
+                n = n_new
+            return (new_st, mean, m2, n), (out, scal)
+
+        return jax.lax.scan(body, (state, mean0, m2_0, n0), keys)
+
+    _SCAN_CACHE[cache_key] = (scan_fn, kernel)
+    return scan_fn
+
+
 def run_hmc(
     key: Array,
     potential_fn: Callable[[Array], Array],
@@ -293,14 +348,26 @@ def run_hmc(
     if collect not in ("samples", "moments", "none"):
         raise ValueError(f"bad collect={collect!r}")
     choice = resolve_kernel_choice(kernel, integrator=integrator)
-    if choice == "fused":
-        kernel = build_fused_hmc_kernel(
-            potential_fn, num_steps=num_steps,
-            temperature=temperature, constants=constants)
+    try:
+        ck = (choice, id(potential_fn), num_steps, integrator,
+              float(temperature), id(constants))
+    except TypeError:
+        ck = None  # array temperature: skip the cross-call cache
+    cached = _KERNEL_CACHE.get(ck) if ck is not None else None
+    if cached is not None:
+        kernel = cached[0]
     else:
-        kernel = build_hmc_kernel(
-            potential_fn, num_steps=num_steps, integrator=integrator,
-            temperature=temperature, constants=constants)
+        if choice == "fused":
+            kernel = build_fused_hmc_kernel(
+                potential_fn, num_steps=num_steps,
+                temperature=temperature, constants=constants)
+        else:
+            kernel = build_hmc_kernel(
+                potential_fn, num_steps=num_steps, integrator=integrator,
+                temperature=temperature, constants=constants)
+        if ck is not None:
+            # pin potential_fn/constants so their ids stay valid
+            _KERNEL_CACHE[ck] = (kernel, potential_fn, constants)
     state = kernel.init(jnp.asarray(init_q), mass=mass)
     num_dims = state.ensemble.num_dims
     dtype = state.ensemble.q.dtype
@@ -315,16 +382,24 @@ def run_hmc(
     if num_warmup > 0:
         segments = build_warmup_schedule(num_warmup, adapt_mass=adapt_mass)
 
-        def warm_body(carry, key):
-            st, da, varst = carry
-            new_st, info = kernel.step(key, st, jnp.exp(da.log_step))
-            da = da_update(da, jnp.mean(info.accept_prob),
-                           target=target_accept, enabled=adapt_step_size)
-            varst = variance_update(varst, new_st.ensemble.q)
-            return (new_st, da, varst), None
+        warm_key_cache = (id(kernel), "warm", float(target_accept),
+                          bool(adapt_step_size))
+        hit = _SCAN_CACHE.get(warm_key_cache)
+        if hit is not None:
+            warm_scan = hit[0]
+        else:
+            def warm_body(carry, key):
+                st, da, varst = carry
+                new_st, info = kernel.step(key, st, jnp.exp(da.log_step))
+                da = da_update(da, jnp.mean(info.accept_prob),
+                               target=target_accept,
+                               enabled=adapt_step_size)
+                varst = variance_update(varst, new_st.ensemble.q)
+                return (new_st, da, varst), None
 
-        warm_scan = jax.jit(lambda carry, keys: jax.lax.scan(
-            warm_body, carry, keys))
+            warm_scan = jax.jit(lambda carry, keys: jax.lax.scan(
+                warm_body, carry, keys))
+            _SCAN_CACHE[warm_key_cache] = (warm_scan, kernel)
 
         for seg in segments:
             da = da_init(step_size)
@@ -341,40 +416,17 @@ def run_hmc(
                     ensemble=state.ensemble.replace(mass=mass_arr))
 
     # ---- sampling ---------------------------------------------------------
-    def sample_body(carry, key):
-        st, mean, m2, n = carry
-        new_st, info = kernel.step(key, st, step_size)
-        out = {}
-        scal = {
-            "accept": jnp.mean(info.accept_prob),
-            "div": jnp.mean(info.divergent.astype(dtype)),
-        }
-        if collect == "samples":
-            out["q"] = new_st.ensemble.q
-        elif collect == "moments":
-            # streaming Welford over (step, walker) pairs
-            q = new_st.ensemble.q
-            w = q.shape[0]
-            n_new = n + w
-            batch_mean = jnp.mean(q, axis=0)
-            delta = batch_mean - mean
-            mean = mean + delta * (w / n_new)
-            batch_m2 = jnp.sum((q - batch_mean) ** 2, axis=0)
-            m2 = m2 + batch_m2 + delta**2 * (n * w / n_new)
-            n = n_new
-        return (new_st, mean, m2, n), (out, scal)
-
+    # streaming Welford over (step, walker) pairs inside a jitted scan
+    # memoized per (kernel, collect) across run_hmc calls
     mean0 = jnp.zeros((num_dims,), dtype)
     m2_0 = jnp.zeros((num_dims,), dtype)
     n0 = jnp.zeros((), dtype)
     keys = jax.random.split(key, num_samples)
-
-    @jax.jit
-    def sample_scan(state, keys):
-        return jax.lax.scan(sample_body, (state, mean0, m2_0, n0), keys)
+    sample_scan = _sample_scan_for(kernel, collect)
 
     t0 = _time.perf_counter()
-    (state, mean, m2, n), (outs, scals) = sample_scan(state, keys)
+    (state, mean, m2, n), (outs, scals) = sample_scan(
+        state, keys, jnp.asarray(step_size, dtype), mean0, m2_0, n0)
     accept_rate = jnp.mean(scals["accept"])
     float(accept_rate)  # scalar readback = reliable device sync
     sampling_seconds = _time.perf_counter() - t0

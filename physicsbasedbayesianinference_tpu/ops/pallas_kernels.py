@@ -775,6 +775,7 @@ def make_fused_hmc_diag_quadratic(
     #                        HBM streaming against the VPU trajectory math
     divergence_threshold: float = 1000.0,
     trajectory_dtype=None,
+    dynamic_steps: bool = False,
 ):
     """Fused HMC transition specialised to diagonal-quadratic potentials
     ``U(q) = 0.5 sum_d k_d (q_d - mu_d)^2`` (standard normal, harmonic,
@@ -797,12 +798,17 @@ def make_fused_hmc_diag_quadratic(
     the (measured, test-gated) reversibility defect of rounded leapfrog.
     ``None`` (default) keeps everything in the input dtype.
 
+    ``dynamic_steps=True`` makes the leapfrog count a traced SMEM scalar
+    (same contract as the generic/packed variants): one compiled kernel
+    serves every jittered trajectory length.
+
     Returns ``transition(seed, q, *, step_size, p_std, inv_mass, beta,
-    k_diag, mean) -> (q', grad', u', accept_prob, accepted, energy_error)``.
+    k_diag, mean[, num_steps]) -> (q', grad', u', accept_prob, accepted,
+    energy_error)``.
     """
 
     def transition(seed, q, *, step_size, p_std, inv_mass, beta,
-                   k_diag, mean, scale=1.0):
+                   k_diag, mean, scale=1.0, num_steps=num_steps):
         w, d = q.shape
         if 128 % d != 0:
             raise ValueError(f"packed kernel needs D | 128; got D={d}")
@@ -826,6 +832,7 @@ def make_fused_hmc_diag_quadratic(
             jnp.asarray(scale, dtype),
         ]).reshape(1, 3)
         seed_arr = jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1))
+        ns_arr = jnp.reshape(jnp.asarray(num_steps, jnp.int32), (1, 1))
 
         # segment-sum matrix S[pack*d, pack] and its expansion transpose
         import numpy as _np
@@ -835,13 +842,14 @@ def make_fused_hmc_diag_quadratic(
         S = jnp.asarray(s_np, dtype)
         ST = jnp.asarray(s_np.T, dtype)
 
-        def kernel(seed_ref, sc_ref, q_ref, kp_ref, mu_ref, im_ref, ps_ref,
-                   s_ref, st_ref, q_out, g_out, u_out, acc_out, taken_out,
-                   derr_out):
+        def kernel(seed_ref, ns_ref, sc_ref, q_ref, kp_ref, mu_ref, im_ref,
+                   ps_ref, s_ref, st_ref, q_out, g_out, u_out, acc_out,
+                   taken_out, derr_out):
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
             dt = sc_ref[0, 0]
             beta_v = sc_ref[0, 1]
             s = sc_ref[0, 2]
+            n_steps = ns_ref[0, 0] if dynamic_steps else num_steps
             k = kp_ref[:]
             mu = mu_ref[:]
             im = im_ref[:]
@@ -888,7 +896,7 @@ def make_fused_hmc_diag_quadratic(
                 return (q, p)
 
             q1, p1 = jax.lax.fori_loop(
-                0, num_steps, body, (q0.astype(tdt), p_in.astype(tdt)))
+                0, n_steps, body, (q0.astype(tdt), p_in.astype(tdt)))
             q1 = q1.astype(dtype)
             p1 = p1.astype(dtype)
             qc1 = q1 - mu
@@ -930,6 +938,8 @@ def make_fused_hmc_diag_quadratic(
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 3), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((br, pack * d), block,
@@ -957,10 +967,11 @@ def make_fused_hmc_diag_quadratic(
                 jax.ShapeDtypeStruct((rows, pack), dtype),
             ],
             interpret=_use_interpret(),
-        )(seed_arr, scalars, qp, kp, mup, imp, psp, S, ST)
+        )(seed_arr, ns_arr, scalars, qp, kp, mup, imp, psp, S, ST)
         q1, g1, u1, acc, taken, derr = out
         return (q1.reshape(w, d), g1.reshape(w, d), u1.reshape(w),
                 acc.reshape(w), taken.reshape(w) > 0.5, derr.reshape(w))
 
     transition.num_steps = num_steps  # type: ignore[attr-defined]
+    transition.dynamic_steps = dynamic_steps  # type: ignore[attr-defined]
     return transition
