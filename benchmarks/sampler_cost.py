@@ -53,7 +53,21 @@ ESS_WALKERS = min(512, NUM_WALKERS)
 
 def make_target():
     """16-dim diagonal Gaussian, stds logspace(0, 1): condition number 100
-    in variance — long trajectories pay off, short ones random-walk."""
+    in variance — long trajectories pay off, short ones random-walk.
+    SAMPLER_COST_TARGET=eight_schools swaps in the non-centered
+    eight-schools posterior (autodiff gradient through the model DSL —
+    the expensive-potential regime where in-kernel gradient evaluation
+    matters, vs the analytic diag-quadratic fast path)."""
+    if os.environ.get("SAMPLER_COST_TARGET") == "eight_schools":
+        from physicsbasedbayesianinference_tpu.models.examples import (
+            EIGHT_SCHOOLS_DATA, eight_schools_noncentered)
+        from physicsbasedbayesianinference_tpu.models.potential import (
+            make_model_potential)
+        global NUM_DIMS
+        mp = make_model_potential(eight_schools_noncentered, (),
+                                  EIGHT_SCHOOLS_DATA)
+        NUM_DIMS = mp.num_dims
+        return mp.potential, jnp.ones((mp.num_dims,))
     from physicsbasedbayesianinference_tpu.ops.potentials import make_gaussian
     stds = jnp.logspace(0.0, 1.0, NUM_DIMS)
     return make_gaussian(jnp.zeros(NUM_DIMS), cov=jnp.diag(stds**2)), stds

@@ -230,10 +230,15 @@ def nbody_accelerations_pallas(
 
     def kernel(xi_ref, x_all_ref, m_all_ref, a_out):
         xi = xi_ref[:]                    # [8, BN] target block
-        acc = jnp.zeros((8, xi.shape[1]), xi.dtype)
         i = pl.program_id(0)
+        zero = jnp.zeros((1, xi.shape[1]), xi.dtype)
 
-        def body(j, acc):
+        def body(j, carry):
+            # per-component (1, BN) accumulators: Mosaic has no
+            # scatter-add lowering, so NO .at[row].add on the packed
+            # [8, BN] array (worked only in CPU interpret mode — caught
+            # by the r4 on-hardware suite run)
+            axc, ayc, azc = carry
             xj = x_all_ref[:, pl.ds(j * bn, bn)]    # [8, BN]
             mj = m_all_ref[0, pl.ds(j * bn, bn)]    # [BN]
             # pairwise components: [BN_i, BN_j]
@@ -248,14 +253,16 @@ def nbody_accelerations_pallas(
             self_pair = same_block & (rows == cols)
             inv_r3 = jnp.where(self_pair, 0.0, jax.lax.rsqrt(r2) ** 3)
             w = mj[None, :] * inv_r3                 # [BN_i, BN_j]
-            ax = jnp.sum(w * dx, axis=1)
-            ay = jnp.sum(w * dy, axis=1)
-            az = jnp.sum(w * dz, axis=1)
-            acc = acc.at[0].add(ax).at[1].add(ay).at[2].add(az)
-            return acc
+            axc = axc + jnp.sum(w * dx, axis=1)[None, :]
+            ayc = ayc + jnp.sum(w * dy, axis=1)[None, :]
+            azc = azc + jnp.sum(w * dz, axis=1)[None, :]
+            return (axc, ayc, azc)
 
-        acc = jax.lax.fori_loop(0, num_blocks, body, acc)
-        a_out[:] = acc
+        axc, ayc, azc = jax.lax.fori_loop(
+            0, num_blocks, body, (zero, zero, zero))
+        a_out[:] = jnp.concatenate(
+            [axc, ayc, azc, jnp.zeros((5, xi.shape[1]), xi.dtype)],
+            axis=0)
 
     at = pl.pallas_call(
         kernel,
@@ -528,7 +535,16 @@ def make_fused_hmc_packed(
     *,
     num_dims: int,
     num_steps: int,
-    block_rows: int = 128,
+    block_rows: int = 1024,  # r4 sweep (merged-kick body, funnel_32
+    #                          @102400): 78.3M t/s vs 50.7M at the old
+    #                          128 — the jaxpr-packed kernel's heavier
+    #                          per-grid-step cost favours bigger blocks
+    #                          (benchmarks/results/block_sweep_r4_*.jsonl).
+    #                          Treated as an upper preference: the actual
+    #                          block is capped by the VMEM estimate below
+    #                          (wide-intermediate potentials like logreg
+    #                          OOM the 16M scoped vmem at 1024: measured
+    #                          19.3M@128 / 21.1M@256 / OOM@1024)
     divergence_threshold: float = 1000.0,
     use_analytic: bool = True,
     dynamic_steps: bool = False,
@@ -564,6 +580,36 @@ def make_fused_hmc_packed(
     pgrad = packed_grad(potential_fn, num_dims, use_analytic=use_analytic)
     pvalue = packed_value(potential_fn, num_dims)
 
+    def _vmem_block_cap(dtype) -> int:
+        """Bound block_rows by Mosaic's ~16M scoped-VMEM stack: every
+        jaxpr intermediate is [rows, width], so rows <= budget / (itemsize
+        * sum of intermediate widths). Widths are row-count independent —
+        probe them on a tiny example. Narrow potentials (funnel: ~1K
+        total width) keep the 1024-row preference; wide ones (logreg:
+        each walker's 256 logits pack to [rows, 1024] intermediates)
+        drop to 256/128 instead of OOMing at compile."""
+        probe = jax.make_jaxpr(lambda qq: pgrad(qq))(
+            jax.ShapeDtypeStruct((8, pack * num_dims), dtype))
+        width = 0
+        for eqn in probe.jaxpr.eqns:
+            for v in eqn.outvars:
+                shape = getattr(v.aval, "shape", ())
+                if shape:
+                    width += int(shape[-1])
+        # sum-of-all-outputs overcounts the live set ~4x (calibrated:
+        # Mosaic reports logreg's true stack at 16.3KB/row where this sum
+        # gives 43K floats = 170KB); keep the kernel's own carries + a
+        # floor, budget the full 16M scoped limit against the corrected
+        # estimate — still ~2.5x conservative vs measured
+        width = max(width // 4, 6 * 128)
+        budget = 16 * 1024 * 1024
+        cap = budget // (4 * width)
+        # round down to a power of two >= 128
+        b = 128
+        while b * 2 <= cap:
+            b *= 2
+        return b
+
     def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta,
                    scale=1.0, num_steps=num_steps):
         w, d = q.shape
@@ -572,7 +618,7 @@ def make_fused_hmc_packed(
         if w % pack != 0:
             raise ValueError(f"num_walkers {w} not divisible by pack {pack}")
         rows = w // pack
-        br = _pick_block(rows, block_rows)
+        br = _pick_block(rows, min(block_rows, _vmem_block_cap(q.dtype)))
         dtype = q.dtype
 
         qp = q.reshape(rows, pack * d)
@@ -693,9 +739,13 @@ def make_fused_hmc_packed(
                 divergent, 0.0, jnp.exp(jnp.minimum(0.0, -derr)))
 
             mask = jnp.dot(acc_f, st_mat, preferred_element_type=dtype)
-            q_out[:] = mask * q1 + (1.0 - mask) * q0
-            g_out[:] = mask * g1 + (1.0 - mask) * g0
-            u_out[:] = acc_f * u1 + (1.0 - acc_f) * u0
+            # select with where, NOT arithmetic blending: a divergent
+            # rejected proposal can carry inf/NaN (hot-replica PT sweeps
+            # overflow trajectories routinely) and 0 * inf = NaN would
+            # poison the kept state
+            q_out[:] = jnp.where(mask > 0.5, q1, q0)
+            g_out[:] = jnp.where(mask > 0.5, g1, g0)
+            u_out[:] = jnp.where(acc_f > 0.5, u1, u0)
             acc_out[:] = accept_prob
             taken_out[:] = acc_f
             derr_out[:] = derr
@@ -916,14 +966,15 @@ def make_fused_hmc_diag_quadratic(
             accept_prob = jnp.where(
                 divergent, 0.0, jnp.exp(jnp.minimum(0.0, -derr)))
 
-            # expand per-walker mask to lanes and blend
+            # expand per-walker mask to lanes and select (where, not
+            # arithmetic blend: 0 * inf = NaN on divergent proposals)
             mask = jnp.dot(acc_f, st_mat, preferred_element_type=dtype)
-            q_sel = mask * q1 + (1.0 - mask) * q0
+            q_sel = jnp.where(mask > 0.5, q1, q0)
             q_out[:] = q_sel
             # gradient of the selected state, written in-kernel so the
             # caller needs no extra elementwise pass over [W, D]
             g_out[:] = k * (q_sel - mu)
-            u_out[:] = acc_f * u1 + (1.0 - acc_f) * u0
+            u_out[:] = jnp.where(acc_f > 0.5, u1, u0)
             acc_out[:] = accept_prob
             taken_out[:] = acc_f
             derr_out[:] = derr
