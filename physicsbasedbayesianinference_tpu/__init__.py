@@ -34,8 +34,8 @@ from .ensemble import (
     sample_momenta,
     sample_positions,
 )
-from .hmc import (HMCInfo, HMCKernel, HMCState, build_fused_hmc_kernel,
-                  build_hmc_kernel, run_hmc)
+from .hmc import (HMCInfo, HMCKernel, HMCState, build_dense_hmc_kernel,
+                  build_fused_hmc_kernel, build_hmc_kernel, run_hmc)
 from .nuts import NUTSInfo, NUTSKernel, build_nuts_kernel, run_nuts
 from .smc import SMCResult, run_smc
 from .chees import ChEESRunResult, run_chees_hmc
@@ -60,6 +60,7 @@ __all__ = [
     "HMCState",
     "HMCInfo",
     "HMCKernel",
+    "build_dense_hmc_kernel",
     "build_fused_hmc_kernel",
     "build_hmc_kernel",
     "run_hmc",

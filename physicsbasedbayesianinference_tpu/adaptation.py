@@ -136,6 +136,62 @@ def regularized_mass(state: VarianceState, *, shrink: float = 5.0,
 
 
 # ---------------------------------------------------------------------------
+# Cross-walker DENSE covariance (full-metric adaptation)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class CovarianceState:
+    """Streaming full covariance over (step, walker) pairs — the dense
+    analog of :class:`VarianceState`. With 10^4+ walkers one time-slice
+    already pins the posterior covariance (a single chain needs O(D)
+    *correlated* draws just to make it full-rank), which is what makes a
+    dense metric practical in the ensemble setting. The [W, D]^T [W, D]
+    cross-moment update is one MXU matmul per transition."""
+
+    mean: Array   # [D]
+    m2: Array     # [D, D] centered cross-moment sum
+    count: Array  # scalar
+
+
+def covariance_init(num_dims: int, dtype=jnp.float32) -> CovarianceState:
+    return CovarianceState(
+        mean=jnp.zeros((num_dims,), dtype),
+        m2=jnp.zeros((num_dims, num_dims), dtype),
+        count=jnp.zeros((), dtype),
+    )
+
+
+def covariance_update(state: CovarianceState, q: Array) -> CovarianceState:
+    """Chan et al. batch merge with a [W, D] slab (dense form)."""
+    w = q.shape[0]
+    n_new = state.count + w
+    batch_mean = jnp.mean(q, axis=0)
+    delta = batch_mean - state.mean
+    mean = state.mean + delta * (w / n_new)
+    qc = q - batch_mean
+    batch_m2 = qc.T @ qc
+    m2 = state.m2 + batch_m2 \
+        + jnp.outer(delta, delta) * (state.count * w / n_new)
+    return CovarianceState(mean=mean, m2=m2, count=n_new)
+
+
+def regularized_covariance(state: CovarianceState, *, shrink: float = 5.0,
+                           floor: float = 1e-3) -> Array:
+    """Stan-style shrinkage toward a scaled identity:
+
+    cov_reg = n/(n+shrink) * cov + floor * shrink/(n+shrink) * I.
+    Returns the covariance Sigma; the metric (mass matrix) is its
+    inverse, and samplers consume Sigma directly (drift q += dt * p @
+    Sigma; momentum draw through inv(chol(Sigma)))."""
+    n = jnp.maximum(state.count, 2.0)
+    cov = state.m2 / (n - 1.0)
+    w = n / (n + shrink)
+    eye = jnp.eye(cov.shape[0], dtype=cov.dtype)
+    return w * cov + (1.0 - w) * floor * eye
+
+
+# ---------------------------------------------------------------------------
 # Warmup schedule
 # ---------------------------------------------------------------------------
 

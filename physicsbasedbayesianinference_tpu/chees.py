@@ -235,6 +235,13 @@ def build_fused_jittered_step(
                 emit_proposal=emit_proposal)
         except PackedUnsupported:
             packed = None
+    if packed is None:
+        # the generic kernel would carry every transition: verify its
+        # Mosaic lowering first (see hmc.fused_kernel_lowers), else the
+        # caller falls back to the XLA jittered kernel
+        from .hmc import fused_kernel_lowers
+        if not fused_kernel_lowers(potential_fn, num_dims):
+            return None
 
     def step(key: Array, state: HMCState, step_size: Array,
              num_steps: Array, mass: Optional[Array] = None):

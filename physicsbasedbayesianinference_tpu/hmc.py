@@ -218,9 +218,10 @@ class HMCRunResult:
     step_size: Array  # adapted step size
     mass: Array  # adapted (diagonal) mass / metric
     num_grad_evals: int  # total potential-gradient evaluations (all walkers)
-    kernel_used: str = "xla"  # "fused" | "xla" (post-fallback)
+    kernel_used: str = "xla"  # "fused" | "xla" | "dense" (post-fallback)
     kernel_variant: str = "xla"  # pallas variant the sampling phase executed
     sampling_seconds: float = 0.0  # wall time of the sampling scan (synced)
+    metric_cov: Optional[Array] = None  # [D, D] adapted Sigma (metric="dense")
 
 
 def resolve_kernel_choice(kernel: str, *,
@@ -324,6 +325,7 @@ def run_hmc(
     collect: str = "samples",
     thin: int = 1,
     kernel: str = "auto",
+    metric: str = "diag",
 ) -> HMCRunResult:
     """Warmup-adapt and sample with ensemble HMC.
 
@@ -347,6 +349,20 @@ def run_hmc(
     """
     if collect not in ("samples", "moments", "none"):
         raise ValueError(f"bad collect={collect!r}")
+    if metric not in ("diag", "dense"):
+        raise ValueError(f"bad metric={metric!r} (want diag|dense)")
+    if metric == "dense":
+        # full mass-matrix path (Stan dense_e analog, MXU-native): its
+        # metric rides as traced [D, D] kernel inputs — see
+        # build_dense_hmc_kernel. The fused pallas engines are
+        # diag-metric by construction, so kernel= does not apply here.
+        return _run_hmc_dense(
+            key, potential_fn, init_q, num_warmup=num_warmup,
+            num_samples=num_samples, num_steps=num_steps,
+            init_step_size=init_step_size, target_accept=target_accept,
+            adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
+            temperature=temperature, constants=constants,
+            collect=collect, thin=thin)
     choice = resolve_kernel_choice(kernel, integrator=integrator)
     try:
         ck = (choice, id(potential_fn), num_steps, integrator,
@@ -461,6 +477,51 @@ def run_hmc(
     )
 
 
+# (id(potential_fn), num_dims) -> bool; value tuple pins the potential ref
+_LOWERING_CACHE: dict = {}
+
+
+def fused_kernel_lowers(potential_fn, num_dims: int,
+                        *, num_steps: int = 2) -> bool:
+    """Probe whether the GENERIC fused pallas transition actually lowers
+    through Mosaic for this potential (memoized per potential+dims).
+
+    ``kernel="auto"`` must degrade gracefully, but Mosaic lowering
+    failures are only discoverable by compiling: e.g. the N-body
+    ensemble potential's ``[..., D] -> [..., n_bodies, 3]`` reshape is a
+    rank-3 vector shape cast Mosaic cannot lower (found by the r4 config
+    suite on hardware — SMC's round-3 ``kernel="auto"`` mutation broke
+    this silently). The probe compiles a tiny 8-walker transition once
+    (~seconds, cached) and the callers (run_smc, build_fused_hmc_kernel
+    init, ChEES/PT builders) fall back to the XLA engine on failure.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    ck = (id(potential_fn), num_dims)
+    hit = _LOWERING_CACHE.get(ck)
+    if hit is not None:
+        return hit[0]
+    from .ops.pallas_kernels import make_fused_hmc_transition
+    ok = True
+    try:
+        vg = batched_value_and_grad(potential_fn)
+        qq = jnp.zeros((8, num_dims), jnp.float32)
+        uu, gg = vg(qq)
+        trans = make_fused_hmc_transition(vg, num_steps=num_steps,
+                                          block_walkers=8)
+        jax.jit(lambda: trans(
+            jnp.int32(0), qq, uu, gg, step_size=jnp.float32(0.01),
+            p_std=1.0, inv_mass=1.0, beta=1.0)).lower().compile()
+    except Exception as e:
+        import sys as _sys
+        print(f"# fused kernel unavailable for this potential "
+              f"(D={num_dims}): {type(e).__name__}; falling back to the "
+              f"XLA engine", file=_sys.stderr)
+        ok = False
+    _LOWERING_CACHE[ck] = (ok, potential_fn)
+    return ok
+
+
 def build_fused_hmc_kernel(
     potential_fn: Callable[[Array], Array],
     *,
@@ -533,14 +594,22 @@ def build_fused_hmc_kernel(
             _packed_generic_cache[num_dims] = trans
         return _packed_generic_cache[num_dims]
 
-    if num_dims is not None and diag is None:
-        _packed_generic_for(num_dims, build=True)
+    # Flipped (eagerly, never inside a trace) when the generic variant
+    # would be used but its Mosaic lowering fails for this potential —
+    # step then routes to the composed XLA kernel (same statistics).
+    _fallback = {"on": False}
+
+    def _check_generic(num_walkers: int, d: int) -> None:
+        if (variant_for(num_walkers, d, 1) == "generic"
+                and not fused_kernel_lowers(potential_fn, d)):
+            _fallback["on"] = True
 
     def init(q: Array, *, mass: Union[float, Array] = 1.0) -> HMCState:
         q_arr = jnp.asarray(q)
         if (q_arr.ndim == 2 and diag is None
                 and not isinstance(q_arr, jax.core.Tracer)):
             _packed_generic_for(q_arr.shape[-1], build=True)
+            _check_generic(q_arr.shape[0], q_arr.shape[-1])
         return base.init(q, mass=mass)
 
     def variant_for(num_walkers: int, num_dims: int,
@@ -555,10 +624,21 @@ def build_fused_hmc_kernel(
             return "packed-generic"
         return "generic"
 
+    if num_dims is not None and diag is None:
+        _packed_generic_for(num_dims, build=True)
+        _check_generic(0, num_dims)  # W unknown: 0 forces the generic test
+
     def step(key: Array, state: HMCState, step_size: Array,
              mass: Optional[Array] = None,
              potential_scale: Optional[Array] = None,
              ) -> tuple[HMCState, HMCInfo]:
+        if _fallback["on"]:
+            if potential_scale is not None:
+                raise ValueError(
+                    "this potential's fused kernel does not lower through "
+                    "Mosaic and the XLA fallback takes no potential_scale; "
+                    "use kernel='xla' (run_smc degrades automatically)")
+            return base.step(key, state, step_size, mass=mass)
         ens = state.ensemble
         if mass is None:
             mass = ens.mass
@@ -603,3 +683,220 @@ def build_fused_hmc_kernel(
     return HMCKernel(
         init=init, step=step, num_steps=num_steps,
         grad_evals_per_step=1, kind="fused", variant_for=variant_for)
+
+
+def build_dense_hmc_kernel(
+    potential_fn: Callable[[Array], Array],
+    *,
+    num_steps: int,
+    temperature: Union[float, Array] = 1.0,
+    constants: Constants = NATURAL,
+    divergence_threshold: float = 1000.0,
+) -> HMCKernel:
+    """HMC transition with a DENSE metric (full mass matrix M = Sigma^-1).
+
+    The reference's mass is a per-walker scalar (reference
+    ensemble.py:38-43); the diagonal metric of :func:`run_hmc` already
+    generalises it. This kernel goes one further — the Stan "dense_e"
+    analog — and is the TPU-natural formulation of it: the sampler
+    consumes the COVARIANCE Sigma directly (never M), so every
+    metric-dependent operation is a [W, D] x [D, D] matmul on the MXU:
+
+      momentum draw   p = sqrt(k_B T) * z @ inv_chol,
+                      inv_chol = inv(cholesky(Sigma))  (cov(p) = k_B T M)
+      drift           q += dt * p @ Sigma              (M^-1 p = Sigma p)
+      kinetic energy  0.5 * sum(p * (p @ Sigma))       (p^T M^-1 p)
+
+    No per-step triangular solves, no explicit inverse of Sigma anywhere
+    in the hot loop. ``step(key, state, step_size, cov=Sigma,
+    inv_chol=...)`` takes the metric as TRACED arguments, so one compiled
+    kernel serves every warmup refinement of Sigma.
+    """
+    vg = batched_value_and_grad(potential_fn)
+    beta = constants.beta(temperature)
+
+    def init(q: Array, *, mass: Union[float, Array] = 1.0) -> HMCState:
+        q = jnp.asarray(q)
+        if q.ndim != 2:
+            raise ValueError(
+                f"init positions must be [num_walkers, num_dims]; got "
+                f"shape {q.shape}")
+        u, g = vg(q)
+        ens = EnsembleState(
+            q=q, p=jnp.zeros_like(q),
+            mass=jnp.asarray(mass, q.dtype),
+            log_weight=jnp.zeros(q.shape[:1], dtype=q.dtype))
+        return HMCState(ensemble=ens, potential_energy=u, grad=g)
+
+    kBT = 1.0 / beta
+
+    def step(key: Array, state: HMCState, step_size: Array,
+             cov: Array, inv_chol: Array) -> tuple[HMCState, HMCInfo]:
+        ens = state.ensemble
+        key_mom, key_acc = jax.random.split(key)
+        z = jax.random.normal(key_mom, ens.q.shape, dtype=ens.q.dtype)
+        p0 = jnp.sqrt(kBT).astype(ens.q.dtype) * (z @ inv_chol)
+
+        def ke(p):
+            return 0.5 * jnp.sum(p * (p @ cov), axis=-1)
+
+        dt = step_size
+
+        def body(carry, _):
+            q, p, u, g = carry
+            p = p - (0.5 * dt) * g
+            q = q + dt * (p @ cov)
+            u, g = vg(q)
+            p = p - (0.5 * dt) * g
+            return (q, p, u, g), None
+
+        (q1, p1, u1, g1), _ = jax.lax.scan(
+            body, (ens.q, p0, state.potential_energy, state.grad),
+            None, length=num_steps)
+        p1 = -p1
+
+        h0 = ke(p0) + state.potential_energy
+        h1 = ke(p1) + u1
+        energy_error = beta * (h1 - h0)
+        energy_error = jnp.where(
+            jnp.isnan(energy_error), jnp.inf, energy_error)
+        divergent = energy_error > divergence_threshold
+        log_u = jnp.log(jax.random.uniform(
+            key_acc, energy_error.shape, dtype=ens.q.dtype,
+            minval=jnp.finfo(ens.q.dtype).tiny))
+        accepted = (log_u < -energy_error) & ~divergent
+        accept_prob = jnp.where(
+            divergent, 0.0, jnp.exp(jnp.minimum(0.0, -energy_error)))
+        sel = accepted[:, None]
+        new_state = HMCState(
+            ensemble=ens.replace(
+                q=jnp.where(sel, q1, ens.q),
+                p=jnp.where(sel, p1, p0)),
+            potential_energy=jnp.where(accepted, u1,
+                                       state.potential_energy),
+            grad=jnp.where(sel, g1, state.grad))
+        info = HMCInfo(
+            accept_prob=accept_prob, accepted=accepted,
+            energy_error=energy_error, divergent=divergent,
+            potential_energy=new_state.potential_energy,
+            step_size=jnp.asarray(step_size))
+        return new_state, info
+
+    return HMCKernel(init=init, step=step, num_steps=num_steps,
+                     grad_evals_per_step=1, kind="dense")
+
+
+def _run_hmc_dense(
+    key, potential_fn, init_q, *, num_warmup, num_samples, num_steps,
+    init_step_size, target_accept, adapt_step_size, adapt_mass,
+    temperature, constants, collect, thin,
+) -> HMCRunResult:
+    """Dense-metric driver behind ``run_hmc(metric="dense")``: warmup
+    jointly dual-averages the step size and streams the cross-walker
+    covariance (adaptation.CovarianceState — one MXU matmul per
+    transition); between segments the regularised Sigma and
+    inv(chol(Sigma)) refresh as TRACED kernel inputs (no recompiles)."""
+    from .adaptation import (covariance_init, covariance_update,
+                             regularized_covariance)
+
+    kernel = build_dense_hmc_kernel(
+        potential_fn, num_steps=num_steps, temperature=temperature,
+        constants=constants)
+    state = kernel.init(jnp.asarray(init_q))
+    num_dims = state.ensemble.num_dims
+    dtype = state.ensemble.q.dtype
+    key, warm_key = jax.random.split(key)
+
+    step_size = jnp.asarray(init_step_size, dtype)
+    cov = jnp.eye(num_dims, dtype=dtype)
+    inv_chol = jnp.eye(num_dims, dtype=dtype)
+
+    if num_warmup > 0:
+        segments = build_warmup_schedule(num_warmup, adapt_mass=adapt_mass)
+
+        @jax.jit
+        def warm_scan(carry, keys, cov, inv_chol):
+            def body(carry, k):
+                st, da, cst = carry
+                new_st, info = kernel.step(
+                    k, st, jnp.exp(da.log_step), cov, inv_chol)
+                da = da_update(da, jnp.mean(info.accept_prob),
+                               target=target_accept,
+                               enabled=adapt_step_size)
+                cst = covariance_update(cst, new_st.ensemble.q)
+                return (new_st, da, cst), None
+            return jax.lax.scan(body, carry, keys)
+
+        for seg in segments:
+            da = da_init(step_size)
+            cst = covariance_init(num_dims, dtype)
+            keys = jax.random.split(
+                jax.random.fold_in(warm_key, seg.index), seg.length)
+            (state, da, cst), _ = warm_scan(
+                (state, da, cst), keys, cov, inv_chol)
+            if adapt_step_size:
+                step_size = jnp.exp(da.log_avg_step)
+            if seg.update_mass and adapt_mass:
+                cov = regularized_covariance(cst)
+                chol = jnp.linalg.cholesky(cov)
+                inv_chol = jax.scipy.linalg.solve_triangular(
+                    chol, jnp.eye(num_dims, dtype=dtype), lower=True)
+
+    # ---- sampling -------------------------------------------------------
+    mean0 = jnp.zeros((num_dims,), dtype)
+    m2_0 = jnp.zeros((num_dims,), dtype)
+    n0 = jnp.zeros((), dtype)
+
+    @jax.jit
+    def sample_scan(state, keys, step_size, cov, inv_chol, mean0, m2_0, n0):
+        def body(carry, k):
+            st, mean, m2, n = carry
+            new_st, info = kernel.step(k, st, step_size, cov, inv_chol)
+            out = {}
+            scal = {"accept": jnp.mean(info.accept_prob),
+                    "div": jnp.mean(info.divergent.astype(dtype))}
+            if collect == "samples":
+                out["q"] = new_st.ensemble.q
+            elif collect == "moments":
+                q = new_st.ensemble.q
+                w = q.shape[0]
+                n_new = n + w
+                bm = jnp.mean(q, axis=0)
+                delta = bm - mean
+                mean = mean + delta * (w / n_new)
+                m2 = m2 + jnp.sum((q - bm) ** 2, axis=0) \
+                    + delta**2 * (n * w / n_new)
+                n = n_new
+            return (new_st, mean, m2, n), (out, scal)
+        return jax.lax.scan(body, (state, mean0, m2_0, n0), keys)
+
+    keys = jax.random.split(key, num_samples)
+    t0 = _time.perf_counter()
+    (state, mean, m2, n), (outs, scals) = sample_scan(
+        state, keys, step_size, cov, inv_chol, mean0, m2_0, n0)
+    accept_rate = jnp.mean(scals["accept"])
+    float(accept_rate)
+    sampling_seconds = _time.perf_counter() - t0
+
+    samples = None
+    post_mean = post_var = None
+    if collect == "samples":
+        samples = outs["q"][::thin]
+    elif collect == "moments":
+        post_mean = mean
+        post_var = m2 / jnp.maximum(n - 1.0, 1.0)
+
+    num_walkers = state.ensemble.num_walkers
+    total_grads = ((num_warmup + num_samples) * num_walkers
+                   * (num_steps + 1))
+    return HMCRunResult(
+        state=state, samples=samples, mean=post_mean, var=post_var,
+        accept_rate=accept_rate,
+        divergence_rate=jnp.mean(scals["div"]),
+        step_size=step_size,
+        mass=1.0 / jnp.diagonal(cov),
+        num_grad_evals=total_grads,
+        kernel_used="dense", kernel_variant="dense-xla",
+        sampling_seconds=sampling_seconds,
+        metric_cov=cov,
+    )

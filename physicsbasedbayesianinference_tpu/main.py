@@ -166,7 +166,8 @@ def run(cfg: RunConfig) -> dict:
             num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
             target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
             temperature=cfg.temperature, constants=constants,
-            collect=cfg.collect, thin=cfg.thin, kernel=cfg.kernel)
+            collect=cfg.collect, thin=cfg.thin, kernel=cfg.kernel,
+            metric=cfg.metric)
         samples = res.samples
         summary.update(
             accept_rate=float(res.accept_rate),

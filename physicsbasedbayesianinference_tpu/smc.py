@@ -293,11 +293,21 @@ def build_smc_machinery(
 
     base_beta = 1.0 / (constants.k_B * temperature)
     choice = resolve_kernel_choice(kernel)
-    fused_kernel = build_fused_hmc_kernel(
-        potential_fn, num_steps=num_leapfrog_steps,
-        temperature=temperature, constants=constants,
-        num_dims=num_dims) \
-        if choice == "fused" else None
+    fused_kernel = None
+    if choice == "fused":
+        fused_kernel = build_fused_hmc_kernel(
+            potential_fn, num_steps=num_leapfrog_steps,
+            temperature=temperature, constants=constants,
+            num_dims=num_dims)
+        from .hmc import fused_kernel_lowers
+        if (fused_kernel.variant_for is not None
+                and fused_kernel.variant_for(num_walkers, num_dims, 1)
+                == "generic"
+                and not fused_kernel_lowers(potential_fn, num_dims)):
+            # e.g. the N-body ensemble potential: its rank-3 reshape has
+            # no Mosaic lowering — degrade to the XLA mutation engine
+            choice = "xla"
+            fused_kernel = None
 
     # tempered kernel: scale the potential by beta (relative to base).
     # beta enters only as a traced multiplier (a closure const for the XLA

@@ -137,6 +137,10 @@ def build_pt_transition(
                         num_steps=num_steps)
                 except PackedUnsupported:
                     fused_packed = None
+            if fused_packed is None:
+                from .hmc import fused_kernel_lowers
+                if not fused_kernel_lowers(potential_fn, num_dims):
+                    fused_generic = None  # XLA replica sweeps instead
     kernel_used = "fused" if fused_generic is not None else "xla"
 
     def replica_step(key, q, u, g, beta_e, step_size):

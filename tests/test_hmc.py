@@ -184,3 +184,43 @@ def test_resolve_kernel_choice():
     assert resolve_kernel_choice("auto") == ("fused" if on_tpu else "xla")
     # non-leapfrog integrators never take the fused path
     assert resolve_kernel_choice("auto", integrator="yoshida4") == "xla"
+
+
+def test_dense_metric_whitens_correlated_target():
+    """run_hmc(metric="dense") — the Stan dense_e analog, estimated from
+    the cross-walker covariance (one MXU matmul per transition): on a
+    strongly correlated target the adapted dense metric must (a) recover
+    the target covariance, (b) allow a much larger step than the diag
+    metric at equal acceptance target, and (c) match the posterior
+    moments."""
+    import numpy as onp
+    rng = onp.random.RandomState(0)
+    a = rng.randn(8, 8)
+    cov_t = a @ a.T + 0.1 * onp.eye(8)
+    mean_t = jnp.arange(8.0)
+    target = pot.make_gaussian(mean_t, cov=jnp.asarray(cov_t, jnp.float32))
+    q0 = jax.random.normal(jax.random.key(0), (4096, 8))
+    kw = dict(num_warmup=400, num_samples=400, num_steps=8,
+              collect="moments")
+    res_d = pbbi.run_hmc(jax.random.key(1), target, q0, metric="dense",
+                         **kw)
+    res_i = pbbi.run_hmc(jax.random.key(1), target, q0, metric="diag",
+                         kernel="xla", **kw)
+    assert res_d.kernel_used == "dense"
+    np.testing.assert_allclose(np.asarray(res_d.mean),
+                               np.asarray(mean_t), atol=0.05)
+    np.testing.assert_allclose(np.asarray(res_d.var),
+                               onp.diagonal(cov_t), rtol=0.1)
+    # whitening: dense step size should be several x the diag step
+    assert float(res_d.step_size) > 2.0 * float(res_i.step_size)
+    # adapted Sigma tracks the target covariance
+    cc = np.asarray(res_d.metric_cov)
+    assert onp.max(onp.abs(cc - cov_t) / (onp.abs(cov_t) + 0.1)) < 0.5
+    assert 0.6 < float(res_d.accept_rate) <= 1.0
+
+
+def test_dense_metric_validates_inputs():
+    with pytest.raises(ValueError, match="metric"):
+        pbbi.run_hmc(jax.random.key(0), pot.make_standard_normal(2),
+                     jnp.zeros((8, 2)), num_warmup=0, num_samples=1,
+                     num_steps=2, metric="bogus")

@@ -729,3 +729,29 @@ def test_packed_bf16_trajectory_statistics_tpu():
     np.testing.assert_allclose(q.mean(), 0.0, atol=0.02)
     np.testing.assert_allclose(q.var(), 1.0, rtol=0.03)
     np.testing.assert_allclose(q.var(axis=0).mean(), 1.0, rtol=0.03)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic lowering probe needs TPU")
+def test_smc_auto_kernel_degrades_for_unlowerable_potential_tpu():
+    """kernel='auto' must not crash on potentials whose jaxprs Mosaic
+    cannot lower (the N-body ensemble potential's rank-3 reshape —
+    found by the r4 config suite): the lowering probe degrades SMC's
+    mutation engine to XLA and the run completes."""
+    from physicsbasedbayesianinference_tpu import smc
+    from physicsbasedbayesianinference_tpu.hmc import fused_kernel_lowers
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_nbody_potential)
+
+    n_bodies = 8
+    target = make_nbody_potential(jnp.ones((n_bodies,)), n_bodies, 3,
+                                  softening=0.3)
+    assert not fused_kernel_lowers(target, n_bodies * 3)
+    init_q = 2.0 * jax.random.normal(jax.random.key(10),
+                                     (512, n_bodies * 3))
+    res = smc.run_smc(jax.random.key(11), target, init_q,
+                      num_mutation_steps=2, num_leapfrog_steps=6,
+                      init_step_size=0.3, beta0=0.05, max_stages=15,
+                      kernel="auto")
+    assert int(res.num_stages) >= 1
+    assert bool(jnp.isfinite(res.log_evidence))
