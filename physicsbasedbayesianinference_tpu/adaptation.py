@@ -106,19 +106,40 @@ def variance_init(num_dims: int, dtype=jnp.float32) -> VarianceState:
     )
 
 
-def variance_update(state: VarianceState, q: Array) -> VarianceState:
-    """Chan et al. parallel-Welford batch update with a [W, D] slab.
+def _valid_rows(q: Array, max_abs: float) -> Array:
+    """[W] mask of walkers safe to stream into a metric estimate.
+
+    A finite-but-huge position (|q| ~ 1e13+ in f32) OVERFLOWS the squared
+    cross-moments even though q itself is representable, and one poisoned
+    slab makes the covariance NaN -> cholesky NaN -> every subsequent
+    proposal rejected -> dual averaging drives the step to zero (the
+    dense-warmup death spiral found in r4). Such walkers are divergent
+    transients of the not-yet-adapted sampler, not posterior information
+    — excluding them from the ESTIMATE (never from the chain itself)
+    leaves the adapted metric unbiased and the stream finite."""
+    return jnp.all(jnp.isfinite(q) & (jnp.abs(q) < max_abs), axis=-1)
+
+
+def variance_update(state: VarianceState, q: Array, *,
+                    max_abs: float = 1e6) -> VarianceState:
+    """Chan et al. parallel-Welford batch update with a [W, D] slab
+    (rows failing :func:`_valid_rows` are excluded — see there).
 
     The per-dimension reductions over walkers become psum collectives under
     sharding.
     """
-    w = q.shape[0]
+    valid = _valid_rows(q, max_abs)
+    w = jnp.sum(valid.astype(q.dtype))
     n_new = state.count + w
-    batch_mean = jnp.mean(q, axis=0)
+    vcol = valid[:, None].astype(q.dtype)
+    # zero non-finite ENTRIES before any masked arithmetic: 0 * inf = NaN
+    qf = jnp.where(jnp.isfinite(q), q, 0.0)
+    batch_mean = jnp.sum(qf * vcol, axis=0) / jnp.maximum(w, 1.0)
     delta = batch_mean - state.mean
-    mean = state.mean + delta * (w / n_new)
-    batch_m2 = jnp.sum((q - batch_mean) ** 2, axis=0)
-    m2 = state.m2 + batch_m2 + delta**2 * (state.count * w / n_new)
+    mean = state.mean + delta * (w / jnp.maximum(n_new, 1.0))
+    batch_m2 = jnp.sum(((qf - batch_mean) * vcol) ** 2, axis=0)
+    m2 = state.m2 + batch_m2 \
+        + delta**2 * (state.count * w / jnp.maximum(n_new, 1.0))
     return VarianceState(mean=mean, m2=m2, count=n_new)
 
 
@@ -162,17 +183,24 @@ def covariance_init(num_dims: int, dtype=jnp.float32) -> CovarianceState:
     )
 
 
-def covariance_update(state: CovarianceState, q: Array) -> CovarianceState:
-    """Chan et al. batch merge with a [W, D] slab (dense form)."""
-    w = q.shape[0]
+def covariance_update(state: CovarianceState, q: Array, *,
+                      max_abs: float = 1e6) -> CovarianceState:
+    """Chan et al. batch merge with a [W, D] slab (dense form; rows
+    failing :func:`_valid_rows` are excluded — see there)."""
+    valid = _valid_rows(q, max_abs)
+    w = jnp.sum(valid.astype(q.dtype))
     n_new = state.count + w
-    batch_mean = jnp.mean(q, axis=0)
+    vcol = valid[:, None].astype(q.dtype)
+    # zero non-finite ENTRIES before any masked arithmetic: 0 * inf = NaN
+    qf = jnp.where(jnp.isfinite(q), q, 0.0)
+    batch_mean = jnp.sum(qf * vcol, axis=0) / jnp.maximum(w, 1.0)
     delta = batch_mean - state.mean
-    mean = state.mean + delta * (w / n_new)
-    qc = q - batch_mean
+    mean = state.mean + delta * (w / jnp.maximum(n_new, 1.0))
+    qc = (qf - batch_mean) * vcol
     batch_m2 = qc.T @ qc
     m2 = state.m2 + batch_m2 \
-        + jnp.outer(delta, delta) * (state.count * w / n_new)
+        + jnp.outer(delta, delta) * (state.count * w
+                                     / jnp.maximum(n_new, 1.0))
     return CovarianceState(mean=mean, m2=m2, count=n_new)
 
 

@@ -151,7 +151,7 @@ def build_jittered_hmc_kernel(
         h1 = 0.5 * jnp.sum(p1 * p1 * inv_mass, axis=-1) + u1
         energy_error = beta * (h1 - h0)
         energy_error = jnp.where(
-            jnp.isnan(energy_error), jnp.inf, energy_error)
+            jnp.isfinite(energy_error), energy_error, jnp.inf)
         divergent = energy_error > divergence_threshold
         log_u = jnp.log(jax.random.uniform(
             key_acc, energy_error.shape, dtype=ens.q.dtype,

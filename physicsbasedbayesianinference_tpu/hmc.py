@@ -166,7 +166,8 @@ def build_hmc_kernel(
         h0 = kinetic_energy(p0, mass) + state.potential_energy
         h1 = kinetic_energy(p1, mass) + u1
         energy_error = beta * (h1 - h0)
-        energy_error = jnp.where(jnp.isnan(energy_error), jnp.inf, energy_error)
+        energy_error = jnp.where(
+            jnp.isfinite(energy_error), energy_error, jnp.inf)
         divergent = energy_error > divergence_threshold
 
         log_u = jnp.log(jax.random.uniform(
@@ -759,7 +760,7 @@ def build_dense_hmc_kernel(
         h1 = ke(p1) + u1
         energy_error = beta * (h1 - h0)
         energy_error = jnp.where(
-            jnp.isnan(energy_error), jnp.inf, energy_error)
+            jnp.isfinite(energy_error), energy_error, jnp.inf)
         divergent = energy_error > divergence_threshold
         log_u = jnp.log(jax.random.uniform(
             key_acc, energy_error.shape, dtype=ens.q.dtype,

@@ -131,7 +131,7 @@ def build_nuts_kernel(
                 q, p, u, g = leapfrog(c["q"], c["p"], c["g"], direction)
                 h = 0.5 * jnp.sum(p * p * inv_mass) + u
                 energy_error = beta * (h - h0)
-                energy_error = jnp.where(jnp.isnan(energy_error), jnp.inf,
+                energy_error = jnp.where(~jnp.isfinite(energy_error), jnp.inf,
                                          energy_error)
                 div = energy_error > divergence_threshold
                 logw_leaf = -energy_error

@@ -452,7 +452,7 @@ def make_fused_hmc_transition(
 
             energy_error = beta_v * (h1 - h0)      # [bw, 1]
             energy_error = jnp.where(
-                jnp.isnan(energy_error), jnp.inf, energy_error)
+                jnp.isfinite(energy_error), energy_error, jnp.inf)
             divergent = energy_error > divergence_threshold
 
             bits_u = pltpu.bitcast(
@@ -727,7 +727,7 @@ def make_fused_hmc_packed(
             h1 = 0.5 * seg_sum(p1 * p1 * im) + s * u1
 
             derr = beta_v * (h1 - h0)               # (br, pack)
-            derr = jnp.where(jnp.isnan(derr), jnp.inf, derr)
+            derr = jnp.where(jnp.isfinite(derr), derr, jnp.inf)
             divergent = derr > divergence_threshold
 
             bits_u = pltpu.bitcast(
@@ -955,7 +955,7 @@ def make_fused_hmc_diag_quadratic(
             h1 = 0.5 * seg_sum(p1 * p1 * im) + s * u1
 
             derr = beta_v * (h1 - h0)               # (br, pack)
-            derr = jnp.where(jnp.isnan(derr), jnp.inf, derr)
+            derr = jnp.where(jnp.isfinite(derr), derr, jnp.inf)
             divergent = derr > divergence_threshold
 
             bits_u = pltpu.bitcast(

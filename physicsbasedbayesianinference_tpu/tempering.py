@@ -158,7 +158,7 @@ def build_pt_transition(
         h0 = 0.5 * jnp.sum(p0 * p0 * inv_mass, axis=-1) + u
         h1 = 0.5 * jnp.sum(p1 * p1 * inv_mass, axis=-1) + u1
         derr = beta_e * (h1 - h0)
-        derr = jnp.where(jnp.isnan(derr), jnp.inf, derr)
+        derr = jnp.where(jnp.isfinite(derr), derr, jnp.inf)
         log_uni = jnp.log(jax.random.uniform(
             k_acc, derr.shape, dtype=dtype,
             minval=jnp.finfo(dtype).tiny))

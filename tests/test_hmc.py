@@ -224,3 +224,66 @@ def test_dense_metric_validates_inputs():
         pbbi.run_hmc(jax.random.key(0), pot.make_standard_normal(2),
                      jnp.zeros((8, 2)), num_warmup=0, num_samples=1,
                      num_steps=2, metric="bogus")
+
+
+def test_dense_metric_sharded_matches_unsharded():
+    """metric='dense' under GSPMD walker sharding must track the
+    unsharded run (this config hit the r4 dense-warmup death spiral
+    before the -inf accept guard + masked covariance stream)."""
+    import numpy as onp
+    from physicsbasedbayesianinference_tpu.parallel.sharded import (
+        sharded_run_hmc)
+    rng = onp.random.RandomState(0)
+    a = rng.randn(4, 4)
+    cov_t = a @ a.T + 0.1 * onp.eye(4)
+    target = pot.make_gaussian(jnp.zeros(4),
+                               cov=jnp.asarray(cov_t, jnp.float32))
+    q0 = jax.random.normal(jax.random.key(0), (2048, 4))
+    kw = dict(num_warmup=200, num_samples=200, num_steps=8,
+              collect="moments", metric="dense")
+    r_s = sharded_run_hmc(jax.random.key(1), target, q0, **kw)
+    r_u = pbbi.run_hmc(jax.random.key(1), target, q0, **kw)
+    assert float(r_s.accept_rate) > 0.5
+    assert float(r_u.accept_rate) > 0.5
+    np.testing.assert_allclose(np.asarray(r_s.mean),
+                               np.asarray(r_u.mean), atol=0.15)
+    np.testing.assert_allclose(np.asarray(r_s.var),
+                               np.asarray(r_u.var), rtol=0.25)
+
+
+def test_metric_streams_mask_pathological_walkers():
+    """A finite-but-huge walker (|q| ~ 1e13 overflows squared
+    cross-moments in f32) must not poison the streaming metric
+    estimators; it is excluded from the ESTIMATE, not the chain."""
+    from physicsbasedbayesianinference_tpu.adaptation import (
+        covariance_init, covariance_update, regularized_covariance,
+        regularized_mass, variance_init, variance_update)
+    q = jax.random.normal(jax.random.key(0), (256, 4))
+    q_bad = q.at[7].set(1e13).at[100, 2].set(jnp.inf)
+    vs = variance_update(variance_init(4), q_bad)
+    assert bool(jnp.isfinite(regularized_mass(vs)).all())
+    cs = covariance_update(covariance_init(4), q_bad)
+    cov = regularized_covariance(cs)
+    assert bool(jnp.isfinite(cov).all())
+    # estimate ~ the clean slab's covariance (254 of 256 rows kept)
+    cs_clean = covariance_update(covariance_init(4), q)
+    np.testing.assert_allclose(np.asarray(cov),
+                               np.asarray(regularized_covariance(cs_clean)),
+                               atol=0.25)
+
+
+def test_negative_inf_energy_error_rejects():
+    """The accept test must treat ANY non-finite energy error as
+    divergent: a -inf error (current Hamiltonian overflowed to +inf)
+    would otherwise auto-accept an arbitrarily bad proposal (the r4
+    dense-warmup failure class)."""
+    kernel = pbbi.build_hmc_kernel(pot.make_standard_normal(2),
+                                   num_steps=4)
+    # poison the cached potential energy to +inf: h0 = inf, h1 finite
+    state = kernel.init(jax.random.normal(jax.random.key(0), (64, 2)))
+    state = state.replace(
+        potential_energy=jnp.full_like(state.potential_energy, jnp.inf))
+    _, info = jax.jit(kernel.step)(jax.random.key(1), state,
+                                   jnp.float32(0.3))
+    assert bool(jnp.all(info.divergent))
+    assert bool(jnp.all(~info.accepted))
