@@ -212,9 +212,12 @@ def main():
                         "value": round(row["min_ess_per_sec"]),
                         "mean_steps": row.get("mean_steps")}
     if best is not None:
-        # second headline (VERDICT.md round-2 item 4): what a
+        # FIRST-CLASS second headline (VERDICT.md round-4 item 7): what a
         # practitioner actually buys — adaptive-sampler min-ESS/s on a
-        # real model, not transitions/s on a synthetic one
+        # real model, not transitions/s on a synthetic one. Top-level,
+        # beside the synthetic metric, so progress is driven by model
+        # throughput too.
+        result["real_model_min_ess_per_sec"] = best
         result["detail"]["real_model_chees_min_ess_per_sec"] = best
     print(json.dumps(result), flush=True)
 

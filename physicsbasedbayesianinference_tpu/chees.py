@@ -316,6 +316,7 @@ class ChEESRunResult:
     trajectory_time: Array     # adapted tau
     mean_num_steps: Array
     kernel_used: str = "xla"   # sampling-phase engine ("fused" | "xla")
+    warmup_kernel_used: str = "xla"  # warmup-phase engine (per-phase auto)
 
 
 def run_chees_hmc(
@@ -339,13 +340,21 @@ def run_chees_hmc(
     """Warmup (joint dual-averaging step size + ChEES trajectory time) then
     sample with Halton-jittered trajectory lengths ``t = 2 h tau``.
 
-    ``kernel``: "auto"|"fused"|"xla". With "auto"/"fused" on TPU BOTH
-    phases run dynamic-trip-count fused pallas transitions: warmup uses
-    the ``emit_proposal`` kernel variant (the ChEES gradient estimator
-    consumes the pre-accept trajectory endpoint, which that variant
-    writes as two extra VMEM outputs — VERDICT.md round-3 item 4 closed)
-    and sampling uses the plain variant (no proposal HBM traffic). Same
-    target distribution as "xla", TPU-hardware-PRNG streams."""
+    ``kernel``: "auto"|"fused"|"xla", selected PER PHASE. Sampling with
+    "auto"/"fused" on TPU runs the dynamic-trip-count fused pallas
+    transition. Warmup is phase-aware (VERDICT.md round-4 item 5): on
+    ANALYTIC diag-quadratic targets — detected via the potential's
+    ``diag_quadratic`` attribute — "auto" keeps warmup on the XLA
+    jittered kernel, because XLA fuses the entire warmup body
+    (transition + ChEES criterion + Adam + dual averaging) into one
+    program and a pallas_call is a fusion barrier there (measured
+    0.61-0.93x at 4K-65K walkers, benchmarks/results/chees_warmup_r4*);
+    on real (expensive-force) targets "auto" runs warmup fused too,
+    using the ``emit_proposal`` kernel variant (the ChEES gradient
+    estimator consumes the pre-accept trajectory endpoint, which that
+    variant writes as two extra VMEM outputs). "fused" forces both
+    phases fused; "xla" forces both XLA. Same target distribution
+    either way; TPU-hardware-PRNG streams on the fused paths."""
     if collect not in ("samples", "moments", "none"):
         raise ValueError(f"bad collect={collect!r}")
     init_q = jnp.asarray(init_q)
@@ -359,7 +368,11 @@ def run_chees_hmc(
         fused_step = build_fused_jittered_step(
             potential_fn, num_dims=num_dims, max_steps=max_steps,
             temperature=temperature, constants=constants)
-        if fused_step is not None and num_warmup > 0:
+        warm_fused_wanted = (
+            kernel == "fused"
+            or getattr(potential_fn, "diag_quadratic", None) is None)
+        if (fused_step is not None and num_warmup > 0
+                and warm_fused_wanted):
             fused_warm_step = build_fused_jittered_step(
                 potential_fn, num_dims=num_dims, max_steps=max_steps,
                 temperature=temperature, constants=constants,
@@ -464,4 +477,6 @@ def run_chees_hmc(
         divergence_rate=jnp.mean(scals[1]),
         step_size=step_size, trajectory_time=tau,
         mean_num_steps=jnp.mean(scals[2]),
-        kernel_used=kernel_used)
+        kernel_used=kernel_used,
+        warmup_kernel_used="fused" if fused_warm_step is not None
+        else "xla")

@@ -346,7 +346,11 @@ def run_hmc(
     the bench-headline engine) and the XLA scan elsewhere; "fused"/"xla"
     force the choice ("fused" still degrades gracefully off-TPU). RNG
     streams differ between the two engines (TPU hardware PRNG vs
-    jax.random) but target identical distributions.
+    jax.random) but target identical distributions. A prebuilt
+    :class:`HMCKernel` instance is also accepted — the multi-chip
+    surface (``parallel.sharded.sharded_run_hmc``) passes its
+    shard_map-wrapped fused kernel through this driver so warmup,
+    adaptation, and collection are one code path for every engine.
     """
     if collect not in ("samples", "moments", "none"):
         raise ValueError(f"bad collect={collect!r}")
@@ -364,27 +368,30 @@ def run_hmc(
             adapt_step_size=adapt_step_size, adapt_mass=adapt_mass,
             temperature=temperature, constants=constants,
             collect=collect, thin=thin)
-    choice = resolve_kernel_choice(kernel, integrator=integrator)
-    try:
-        ck = (choice, id(potential_fn), num_steps, integrator,
-              float(temperature), id(constants))
-    except TypeError:
-        ck = None  # array temperature: skip the cross-call cache
-    cached = _KERNEL_CACHE.get(ck) if ck is not None else None
-    if cached is not None:
-        kernel = cached[0]
+    if isinstance(kernel, HMCKernel):
+        pass  # prebuilt (e.g. shard_map-wrapped fused) kernel: use as-is
     else:
-        if choice == "fused":
-            kernel = build_fused_hmc_kernel(
-                potential_fn, num_steps=num_steps,
-                temperature=temperature, constants=constants)
+        choice = resolve_kernel_choice(kernel, integrator=integrator)
+        try:
+            ck = (choice, id(potential_fn), num_steps, integrator,
+                  float(temperature), id(constants))
+        except TypeError:
+            ck = None  # array temperature: skip the cross-call cache
+        cached = _KERNEL_CACHE.get(ck) if ck is not None else None
+        if cached is not None:
+            kernel = cached[0]
         else:
-            kernel = build_hmc_kernel(
-                potential_fn, num_steps=num_steps, integrator=integrator,
-                temperature=temperature, constants=constants)
-        if ck is not None:
-            # pin potential_fn/constants so their ids stay valid
-            _KERNEL_CACHE[ck] = (kernel, potential_fn, constants)
+            if choice == "fused":
+                kernel = build_fused_hmc_kernel(
+                    potential_fn, num_steps=num_steps,
+                    temperature=temperature, constants=constants)
+            else:
+                kernel = build_hmc_kernel(
+                    potential_fn, num_steps=num_steps, integrator=integrator,
+                    temperature=temperature, constants=constants)
+            if ck is not None:
+                # pin potential_fn/constants so their ids stay valid
+                _KERNEL_CACHE[ck] = (kernel, potential_fn, constants)
     state = kernel.init(jnp.asarray(init_q), mass=mass)
     num_dims = state.ensemble.num_dims
     dtype = state.ensemble.q.dtype
@@ -460,7 +467,7 @@ def run_hmc(
     total_grads = ((num_warmup + num_samples) * num_walkers
                    * (kernel.num_steps * kernel.grad_evals_per_step + 1))
     variant = "xla"
-    if kernel.kind == "fused" and kernel.variant_for is not None:
+    if "fused" in kernel.kind and kernel.variant_for is not None:
         variant = kernel.variant_for(num_walkers, num_dims, 1)
     return HMCRunResult(
         state=state,

@@ -12,6 +12,8 @@ from .core import (
     Site,
     log_density,
     plate,
+    reparam,
+    reparametrized,
     sample,
     seed,
     substitute,
@@ -27,6 +29,8 @@ __all__ = [
     "Site",
     "sample",
     "plate",
+    "reparam",
+    "reparametrized",
     "seed",
     "substitute",
     "trace",

@@ -347,7 +347,10 @@ class BernoulliLogits(Distribution):
 
     def log_prob(self, value):
         logits = _field(self.logits)
-        return value * logits - jax.nn.softplus(logits)
+        # tfm.softplus: lean custom derivative (single lax.logistic) so
+        # fused-kernel gradient loops stay off the VPU-bound logaddexp
+        # guard chain jax.nn.softplus's autodiff produces
+        return value * logits - tfm.softplus(logits)
 
     def sample(self, key, shape=()):
         shape = jnp.broadcast_shapes(shape, self.batch_shape)

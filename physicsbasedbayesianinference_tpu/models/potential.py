@@ -131,23 +131,52 @@ class ModelPotential:
         """[..., D] unconstrained samples -> named constrained arrays."""
         return self.unflatten(samples)
 
+    def trace_values(self, q: Array) -> dict:
+        """All non-observed site values at ``q: [D]`` (or batched
+        ``[..., D]`` via vmap over the leading axes) — INCLUDING
+        deterministic sites, so reparameterised models (``reparam=``)
+        still report the original named quantities (e.g. centered
+        eight-schools' ``theta`` when the latent space carries
+        ``theta_decentered``)."""
+        def one(qv):
+            sites = core.trace_model(
+                self.model, self.model_args, self.model_kwargs,
+                params=self.unflatten(qv))
+            return {name: s.value for name, s in sites.items()
+                    if not s.is_observed}
+
+        for _ in range(jnp.ndim(q) - 1):
+            one = jax.vmap(one)
+        return one(q)
+
 
 def make_model_potential(
     model: Callable,
     model_args: tuple = (),
     model_kwargs: Optional[dict] = None,
+    *,
+    reparam=None,
 ) -> ModelPotential:
     """Trace the model once (prior seed) to discover latent sites, shapes,
     and supports; return a :class:`ModelPotential` whose ``potential`` is a
     per-walker ``q:[D] -> scalar`` negative log density, ready for
-    :func:`~...hmc.build_hmc_kernel` (which vmaps + differentiates it)."""
+    :func:`~...hmc.build_hmc_kernel` (which vmaps + differentiates it).
+
+    ``reparam``: ``"auto"``, a site-name collection, or a ``{name: bool}``
+    dict — non-center the selected loc-scale sites (see
+    :class:`..core.reparam`); the latent space then carries the
+    ``*_decentered`` coordinates and the original names become
+    deterministic sites (recover them with
+    :meth:`ModelPotential.trace_values`)."""
     model_kwargs = dict(model_kwargs or {})
+    if reparam is not None:
+        model = core.reparametrized(model, reparam)
     sites = core.trace_model(model, model_args, model_kwargs,
                              key=jax.random.key(0))
     specs = []
     offset = 0
     for name, site in sites.items():
-        if site.is_observed:
+        if site.is_observed or site.is_deterministic:
             continue
         if site.dist.support is None:
             raise ValueError(

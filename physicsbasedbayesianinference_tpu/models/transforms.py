@@ -24,6 +24,26 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+@jax.custom_jvp
+def softplus(x: Array) -> Array:
+    """``log(1 + exp(x))`` with a LEAN custom derivative.
+
+    ``jax.nn.softplus``'s autodiff re-derives sigmoid through logaddexp's
+    inf/NaN guards — ~25 elementwise ops per use inside a fused-kernel
+    gradient loop, which VPU-bounds data-heavy potentials (measured on
+    logreg_32_n256, BASELINE.md r5). The primal here is the same stable
+    ``max(x, 0) + log1p(exp(-|x|))``; the tangent is the single
+    ``lax.logistic`` primitive, so gradient jaxprs stay 2 ops.
+    """
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+@softplus.defjvp
+def _softplus_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    return softplus(x), jax.lax.logistic(x) * t
+
+
 @dataclasses.dataclass(frozen=True)
 class Transform:
     """Identity: support = all reals. ``name`` is a class attribute, not a
@@ -85,7 +105,7 @@ class IntervalTransform(Transform):
 
     def log_det_jacobian(self, x: Array) -> Array:
         return (jnp.log(self.hi - self.lo)
-                - jax.nn.softplus(x) - jax.nn.softplus(-x))
+                - softplus(x) - softplus(-x))
 
 
 UNIT_INTERVAL = IntervalTransform(0.0, 1.0)

@@ -22,9 +22,19 @@ layout by two rules:
   materialised once, at transform time, into its matrix ``M[k_in, k_out]``
   by evaluating the primitive on basis vectors; the packed op is then one
   ``(rows, P*k_in) @ blockdiag_P(M)`` matmul — which runs on the MXU,
-  turning layout bookkeeping into systolic-array work. Affine chains could
-  be fused further, but XLA constant-folds the tiny blockdiag operands and
-  the matmuls pipeline behind the elementwise trajectory math.
+  turning layout bookkeeping into systolic-array work.
+
+  **Affine chains FUSE** (VERDICT.md round-4 item 2): consecutive affine
+  primitives — and linear elementwise ops (add/sub, mul/div by
+  constants, neg) between them — compose symbolically at build time into
+  one matrix per *distinct nonlinear source*, so e.g. a logistic
+  regression's whole forward chain ``slice(w) -> X @ w -> + broadcast(b)``
+  is ONE ``[P*D, P*N]`` matmul and the autodiff's backward chain
+  ``X^T s -> pad -> concat -> + prior grad`` is one matmul per source
+  (``s`` and ``q``) instead of one per primitive. This both removes the
+  redundant MXU passes that made data-heavy potentials 4-8x slower than
+  the floor and shrinks the kernel's live VMEM set (fewer
+  intermediates), which lifts the usable block size.
 * **segment reductions** that are not linear (reduce_max/reduce_min, the
   core of logsumexp in mixture targets) use a masked lane-shift fold:
   ceil(log2(k)) shifted elementwise max/min passes, then a 0/1 extraction
@@ -122,6 +132,256 @@ class _Const:
 
     def __init__(self, val):
         self.val = val
+
+
+class _Affine:
+    """A LAZY affine function of materialised packed values:
+
+        value = sum_i  src_i @ M_i  (+ offset)
+
+    with ``src_i`` a :class:`_Packed` (a nonlinear "source": kernel input
+    or elementwise-op output), ``M_i`` a build-time numpy matrix
+    ``[k_src_i, k_out]`` (``None`` = identity), and ``offset`` a flat
+    numpy ``[k_out]`` (or None). Consecutive affine primitives compose
+    into these matrices symbolically; add/sub merge term lists (terms
+    with the SAME source merge by matrix addition — the mechanism that
+    collapses e.g. a whole GLM forward chain into one matmul);
+    materialisation (at the first nonlinear consumer) emits exactly one
+    block-diagonal matmul per distinct source.
+    """
+
+    __slots__ = ("terms", "off", "tail", "dtype", "_mat")
+
+    def __init__(self, terms, off, tail, dtype):
+        self.terms = terms          # list[(_Packed, Optional[np.ndarray])]
+        self.off = off              # Optional[np.ndarray] flat [k_out]
+        self.tail = tuple(tail)
+        self.dtype = dtype
+        self._mat = None            # materialisation cache (per pass)
+
+    @property
+    def k(self) -> int:
+        return int(np.prod(self.tail, dtype=np.int64)) if self.tail else 1
+
+
+def _merge_terms(terms):
+    """Sum matrices of terms sharing a source (id identity): the fusion
+    step that turns parallel affine paths from one source into a single
+    matmul. Identity (None) promotes to an explicit eye first."""
+    merged: dict = {}
+    for src, m in terms:
+        sid = id(src)
+        if sid in merged:
+            prev_src, prev_m = merged[sid]
+            if prev_m is None:
+                prev_m = np.eye(src.k, dtype=np.float32)
+            if m is None:
+                m = np.eye(src.k, dtype=np.float32)
+            merged[sid] = (prev_src, prev_m + m)
+        else:
+            merged[sid] = (src, m)
+    return list(merged.values())
+
+
+def _aff_of(v, tail, dtype):
+    """Wrap a _Packed as an identity _Affine (for term-list algebra)."""
+    return _Affine([(v, None)], None, tail, dtype)
+
+
+def _aff_compose(v, m_next, off_next, out_tail, dtype):
+    """(affine or packed) followed by the linear map m_next (+ off_next):
+    pure numpy composition, no staged ops."""
+    if isinstance(v, _Packed):
+        return _Affine([(v, m_next)], off_next, out_tail, dtype)
+    terms = []
+    for src, m in v.terms:
+        terms.append((src, m_next if m is None else m @ m_next))
+    off = off_next
+    if v.off is not None:
+        extra = v.off @ m_next
+        off = extra if off is None else off + extra
+    return _Affine(terms, off, out_tail, dtype)
+
+
+def _aff_broadcast_lazy(v: "_Affine", out_tail):
+    """Broadcast an affine value's tail (free: right-multiply by the 0/1
+    broadcast matrix)."""
+    if v.tail == tuple(out_tail):
+        return v
+    b = _bcast_matrix_np(v.tail, out_tail, np.float32)
+    return _aff_compose(v, b, None, out_tail, v.dtype)
+
+
+def _aff_scale(v: "_Affine", c, out_tail):
+    """Elementwise multiply by a constant (right-multiply by diag(c));
+    ``c`` broadcastable to out_tail."""
+    v = _aff_broadcast_lazy(v, out_tail)
+    c_flat = np.broadcast_to(_np(c), out_tail).reshape(-1).astype(np.float32)
+    terms = []
+    k = v.k
+    for src, m in v.terms:
+        if m is None:
+            m = np.eye(k, dtype=np.float32)
+        terms.append((src, m * c_flat[None, :]))
+    off = None if v.off is None else v.off * c_flat
+    return _Affine(terms, off, out_tail, v.dtype)
+
+
+def _aff_add_offset(v: "_Affine", c, out_tail):
+    v = _aff_broadcast_lazy(v, out_tail)
+    c_flat = np.broadcast_to(_np(c), out_tail).reshape(-1).astype(np.float32)
+    off = c_flat if v.off is None else v.off + c_flat
+    return _Affine(v.terms, off, out_tail, v.dtype)
+
+
+def _aff_add(a: "_Affine", b: "_Affine", out_tail):
+    a = _aff_broadcast_lazy(a, out_tail)
+    b = _aff_broadcast_lazy(b, out_tail)
+    off = a.off
+    if b.off is not None:
+        off = b.off if off is None else off + b.off
+    return _Affine(a.terms + b.terms, off, out_tail, a.dtype)
+
+
+def _affine_content_key(terms, off):
+    """Content identity of a merged affine value (source object ids +
+    matrix/offset bytes): distinct _Affine objects that compute the SAME
+    function of the same sources (common in autodiff jaxprs — e.g. a
+    NaN-guard select re-derives the logits three ways) materialise once."""
+    parts = []
+    for src, m in terms:
+        # m + 0.0 canonicalises -0.0 so byte-equality matches value-equality
+        parts.append((id(src), None if m is None else (m + 0.0).tobytes()))
+    off_part = None
+    if off is not None and np.any(off):
+        off_part = (off + 0.0).tobytes()
+    return (tuple(parts), off_part)
+
+
+def _materialize(v, pack: int, store, key, reg=None):
+    """_Affine -> _Packed: one blockdiag matmul per distinct source, plus
+    the offset tile. _Packed passes through. Cached on the object so a
+    value with several nonlinear consumers materialises once (build and
+    trace passes visit consumers in the same order, so the memo keys —
+    taken from the FIRST consumer — agree across passes); additionally
+    deduplicated per evaluation pass by CONTENT via ``reg`` (same
+    sources, same matrices -> same packed array)."""
+    if isinstance(v, _Packed):
+        return v
+    if v._mat is not None:
+        return v._mat
+    terms = _merge_terms(v.terms)
+    ckey = None
+    if reg is not None:
+        ckey = (_affine_content_key(terms, v.off), v.tail)
+        hit = reg.get(ckey)
+        if hit is not None:
+            v._mat = hit
+            return hit
+    acc = None
+    for i, (src, m) in enumerate(terms):
+        if m is None:
+            term = src.arr
+        elif (m.shape[0] == m.shape[1]
+              and np.count_nonzero(m - np.diag(np.diag(m))) == 0):
+            # diagonal map (scaled identity / per-element scale): an
+            # elementwise multiply by the tiled diagonal, not a matmul
+            dg = _memo(store, (key, "affdiag", i),
+                       lambda m=m: _tile_const_np(
+                           np.diag(m), pack).astype(np.float32))
+            term = src.arr * dg
+        else:
+            bd = _memo(store, (key, "affmat", i),
+                       lambda m=m: _blockdiag_np(
+                           m.astype(np.float32), pack))
+            term = jnp.dot(src.arr, bd,
+                           preferred_element_type=src.arr.dtype)
+        acc = term if acc is None else acc + term
+    if v.off is not None and np.any(v.off):
+        off_t = _memo(store, (key, "affoff"),
+                      lambda: _tile_const_np(
+                          v.off.reshape(v.tail) if v.tail else v.off[0],
+                          pack).astype(np.float32))
+        acc = acc if acc is not None else 0.0
+        acc = acc + off_t
+    if acc is None or not hasattr(acc, "shape"):
+        base = acc if acc is not None else 0.0
+        acc = jnp.full((1, pack * v.k), base, v.dtype)
+    out = _Packed(acc, v.tail)
+    v._mat = out
+    if reg is not None and ckey is not None:
+        reg[ckey] = out
+    return out
+
+
+def _is_walker(v) -> bool:
+    return isinstance(v, (_Packed, _Affine))
+
+
+def _val_dtype(v):
+    if isinstance(v, _Packed):
+        return v.arr.dtype
+    if isinstance(v, _Affine):
+        return v.dtype
+    return jnp.asarray(v.val).dtype
+
+
+def _fusable(v) -> bool:
+    """Affine algebra is carried in float32 numpy; only fuse float32
+    walker values (the framework's working dtype) — everything else takes
+    the materialise-first path."""
+    return _val_dtype(v) == jnp.float32
+
+
+def _try_linear_elementwise(name, eqn, invals, out_tail, store, ek):
+    """Fuse LINEAR elementwise ops (add/sub/add_any, mul/div by
+    constants, neg) into the affine representation instead of
+    materialising their operands. Returns an _Affine, or None when the
+    op/operand mix is not linear (caller falls back to the generic
+    elementwise path)."""
+    if not all(isinstance(v, (_Packed, _Affine, _Const)) for v in invals):
+        return None
+    walkers = [v for v in invals if _is_walker(v)]
+    if not any(isinstance(v, _Affine) for v in walkers):
+        return None  # no fusion opportunity: plain elementwise is fine
+    if not all(_fusable(v) for v in walkers):
+        return None
+    dtype = _val_dtype(walkers[0])
+
+    def as_aff(v):
+        if isinstance(v, _Affine):
+            return _aff_broadcast_lazy(v, out_tail)
+        return _aff_broadcast_lazy(_aff_of(v, v.tail, dtype), out_tail)
+
+    if name in ("add", "add_any", "sub") and len(invals) == 2:
+        a, b = invals
+        sign = -1.0 if name == "sub" else 1.0
+        if _is_walker(a) and _is_walker(b):
+            bb = as_aff(b)
+            if sign < 0:
+                bb = _aff_scale(bb, -1.0, out_tail)
+            return _aff_add(as_aff(a), bb, out_tail)
+        if _is_walker(a) and isinstance(b, _Const):
+            c = np.asarray(_np(b.val), np.float32) * sign
+            return _aff_add_offset(as_aff(a), c, out_tail)
+        if isinstance(a, _Const) and _is_walker(b):
+            bb = as_aff(b)
+            if sign < 0:
+                bb = _aff_scale(bb, -1.0, out_tail)
+            return _aff_add_offset(bb, _np(a.val), out_tail)
+    if name == "mul" and len(invals) == 2:
+        a, b = invals
+        if _is_walker(a) and isinstance(b, _Const):
+            return _aff_scale(as_aff(a), b.val, out_tail)
+        if isinstance(a, _Const) and _is_walker(b):
+            return _aff_scale(as_aff(b), a.val, out_tail)
+    if name == "div" and len(invals) == 2:
+        a, b = invals
+        if _is_walker(a) and isinstance(b, _Const):
+            return _aff_scale(as_aff(a), 1.0 / _np(b.val), out_tail)
+    if name == "neg" and len(invals) == 1:
+        return _aff_scale(as_aff(invals[0]), -1.0, out_tail)
+    return None
 
 
 def _memo(store, key, thunk):
@@ -230,12 +490,16 @@ def _segment_fold(arr: Array, k: int, pack: int, prim_name: str) -> Array:
     return jnp.dot(arr, extract, preferred_element_type=arr.dtype)
 
 
-def _eval_packed(jaxpr, consts, args, pack: int, store, path=()):
+def _eval_packed(jaxpr, consts, args, pack: int, store, path=(), reg=None):
     """Interpret ``jaxpr`` with walker-dependent inputs in packed layout.
 
     ``store`` memoises every constant artifact across calls (see _memo);
-    ``path`` disambiguates eqns inside nested call jaxprs.
+    ``path`` disambiguates eqns inside nested call jaxprs; ``reg`` is the
+    per-pass affine-materialisation dedup registry (created at the top
+    level, shared down the call tree).
     """
+    if reg is None:
+        reg = {}
     env = {}
 
     def read(v):
@@ -273,7 +537,7 @@ def _eval_packed(jaxpr, consts, args, pack: int, store, path=()):
         if name in _CALLS:
             sub, sub_consts = _subjaxpr(eqn)
             outs = _eval_packed(sub, sub_consts, invals[:len(sub.invars)],
-                                pack, store, ek)
+                                pack, store, ek, reg)
             for ovar, o in zip(eqn.outvars, outs):
                 write(ovar, o)
             continue
@@ -282,9 +546,15 @@ def _eval_packed(jaxpr, consts, args, pack: int, store, path=()):
             # lax elementwise ops broadcast size-1 dims; align every
             # operand to the output tail in packed space first
             out_tail = tuple(eqn.outvars[0].aval.shape)
+            fused = _try_linear_elementwise(
+                name, eqn, invals, out_tail, store, ek)
+            if fused is not None:
+                write(eqn.outvars[0], fused)
+                continue
             ops = []
             for i, v in enumerate(invals):
-                if isinstance(v, _Packed):
+                if _is_walker(v):
+                    v = _materialize(v, pack, store, (ek, "mat", i), reg)
                     ops.append(_broadcast_packed(v, out_tail, pack, store,
                                                  (ek, "bc", i)))
                 else:
@@ -302,7 +572,8 @@ def _eval_packed(jaxpr, consts, args, pack: int, store, path=()):
             continue
 
         if name in _SEG_REDUCE:
-            (v,) = [x for x in invals if isinstance(x, _Packed)]
+            (v,) = [x for x in invals if _is_walker(x)]
+            v = _materialize(v, pack, store, (ek, "mat"), reg)
             axes = eqn.params.get("axes", ())
             if tuple(axes) != tuple(range(len(v.tail))):
                 raise PackedUnsupported(
@@ -312,32 +583,43 @@ def _eval_packed(jaxpr, consts, args, pack: int, store, path=()):
             continue
 
         if name in _AFFINE:
-            out = _affine_rule(eqn, invals, pack, store, ek)
+            out = _affine_rule(eqn, invals, pack, store, ek, reg)
             write(eqn.outvars[0], out)
             continue
 
         raise PackedUnsupported(f"primitive not supported packed: {name}")
 
-    return [read(v) for v in jaxpr.outvars]
+    outs = []
+    for i, v in enumerate(jaxpr.outvars):
+        val = read(v)
+        if isinstance(val, _Affine) and path == ():
+            # top-level outputs materialise; nested-call outputs stay
+            # lazy so affine chains fuse across pjit/custom_jvp frames
+            val = _materialize(val, pack, store, (path, "out", i), reg)
+        outs.append(val)
+    return outs
 
 
-def _affine_rule(eqn, invals, pack: int, store, ek) -> _Packed:
+def _affine_rule(eqn, invals, pack: int, store, ek, reg=None):
     """Generic affine primitive: materialise the per-operand linear map by
-    basis evaluation (once, at build time, on concrete constants) and apply
-    it as a block-diagonal matmul in the packed layout."""
+    basis evaluation (once, at build time, on concrete constants) and
+    COMPOSE it lazily into the operands' affine representations (see
+    :class:`_Affine`) — the blockdiag matmuls are only emitted at the
+    first nonlinear consumer, one per distinct source."""
     out_aval = eqn.outvars[0].aval
     out_tail = tuple(out_aval.shape)
     k_out = int(np.prod(out_tail, dtype=np.int64)) if out_tail else 1
     name = eqn.primitive.name
 
-    walker_pos = [i for i, v in enumerate(invals) if isinstance(v, _Packed)]
+    walker_pos = [i for i, v in enumerate(invals) if _is_walker(v)]
 
     # dot_general between two walker-dependent operands: only the full
     # inner product (elementwise mul + segment sum) is supported.
     if name == "dot_general" and len(walker_pos) == 2:
         dn = eqn.params["dimension_numbers"]
         (lc, rc), (lb, rb) = dn
-        a, b = invals
+        a = _materialize(invals[0], pack, store, (ek, "mat", 0), reg)
+        b = _materialize(invals[1], pack, store, (ek, "mat", 1), reg)
         if (a.tail == b.tail and tuple(lc) == tuple(range(len(a.tail)))
                 and tuple(rc) == tuple(lc) and not lb and not rb):
             prod = a.arr * b.arr
@@ -350,7 +632,7 @@ def _affine_rule(eqn, invals, pack: int, store, ek) -> _Packed:
             f"dimension_numbers={dn}")
 
     for i in walker_pos:
-        dt = invals[i].arr.dtype
+        dt = _val_dtype(invals[i])
         if not jnp.issubdtype(dt, jnp.floating):
             raise PackedUnsupported(
                 f"affine primitive {name} on non-float walker value {dt}")
@@ -361,45 +643,69 @@ def _affine_rule(eqn, invals, pack: int, store, ek) -> _Packed:
         v = invals[walker_pos[0]]
         if v.k == k_out and (name != "reshape"
                              or eqn.params.get("dimensions") is None):
+            if isinstance(v, _Affine):
+                return _Affine(v.terms, v.off, out_tail, v.dtype)
             return _Packed(v.arr, out_tail)
+
+    fusable = all(_fusable(invals[i]) for i in walker_pos)
 
     def _materialise():
         zeros = {
-            i: jnp.zeros(invals[i].tail,
-                         dtype=invals[i].arr.dtype)
+            i: jnp.zeros(invals[i].tail, dtype=_val_dtype(invals[i]))
             for i in walker_pos
         }
 
         def h(subs):
             ops = []
             for i, v in enumerate(invals):
-                if isinstance(v, _Packed):
+                if _is_walker(v):
                     ops.append(subs.get(i, zeros[i]))
                 else:
                     ops.append(jnp.asarray(v.val))
             return eqn.primitive.bind(*ops, **eqn.params)
 
         offset = h({})  # out_tail-shaped constant part
-        off_np = _np(offset).reshape(1, k_out)
+        off_np = _np(offset).reshape(k_out).astype(np.float32)
         mats = []
         for i in walker_pos:
             v = invals[i]
-            basis = jnp.eye(v.k, dtype=v.arr.dtype).reshape(
+            basis = jnp.eye(v.k, dtype=_val_dtype(v)).reshape(
                 (v.k,) + v.tail)
             cols = jax.vmap(lambda e, _i=i: h({_i: e}))(basis)
-            m = _np(cols).reshape(v.k, k_out) - off_np
-            mats.append(_blockdiag_np(m, pack))
-        return _tile_const_np(off_np.reshape(out_tail), pack), mats
+            m = (_np(cols).reshape(v.k, k_out)
+                 - off_np[None, :]).astype(np.float32)
+            mats.append(m)
+        return off_np, mats
 
-    offset_tile, mats = _memo(store, (ek, "affine"), _materialise)
-    acc = None
-    for i, b in zip(walker_pos, mats):
-        term = jnp.dot(invals[i].arr, b,
-                       preferred_element_type=invals[i].arr.dtype)
-        acc = term if acc is None else acc + term
-    if np.any(offset_tile):
-        acc = acc + offset_tile
-    return _Packed(acc, out_tail)
+    off_np, mats = _memo(store, (ek, "affine"), _materialise)
+
+    if not fusable:
+        # non-f32 walker values: eager blockdiag matmuls (original path)
+        acc = None
+        for j, i in enumerate(walker_pos):
+            v = _materialize(invals[i], pack, store, (ek, "mat", i), reg)
+            bd = _memo(store, (ek, "bd", j),
+                       lambda m=mats[j], v=v: _blockdiag_np(
+                           m, pack).astype(np.dtype(v.arr.dtype)))
+            term = jnp.dot(v.arr, bd, preferred_element_type=v.arr.dtype)
+            acc = term if acc is None else acc + term
+        if np.any(off_np):
+            acc = acc + _tile_const_np(
+                off_np.reshape(out_tail) if out_tail else off_np[0], pack)
+        return _Packed(acc, out_tail)
+
+    # lazy composition: each walker operand contributes its terms
+    # right-multiplied by this primitive's matrix; offsets accumulate
+    result = None
+    dtype = _val_dtype(invals[walker_pos[0]])
+    for j, i in enumerate(walker_pos):
+        contrib = _aff_compose(invals[i], mats[j], None, out_tail, dtype)
+        result = contrib if result is None else _aff_add(
+            result, contrib, out_tail)
+    if np.any(off_np):
+        off = off_np if result.off is None else result.off + off_np
+        result = _Affine(result.terms, off, out_tail, dtype)
+    return result
 
 
 def pack_for(num_dims: int) -> int:

@@ -596,12 +596,12 @@ def make_fused_hmc_packed(
                 shape = getattr(v.aval, "shape", ())
                 if shape:
                     width += int(shape[-1])
-        # sum-of-all-outputs overcounts the live set ~4x (calibrated:
-        # Mosaic reports logreg's true stack at 16.3KB/row where this sum
-        # gives 43K floats = 170KB); keep the kernel's own carries + a
-        # floor, budget the full 16M scoped limit against the corrected
-        # estimate — still ~2.5x conservative vs measured
-        width = max(width // 4, 6 * 128)
+        # r5 recalibration: with affine-chain fusion the packed jaxprs
+        # are lean enough that the live set ~= the sum of output widths
+        # (measured: logreg sums 6528 floats/row = 26KB vs Mosaic's
+        # reported 24KB/row stack need) — no correction factor; the
+        # floor keeps the kernel's own q/p/g carries counted
+        width = max(width, 6 * 128)
         budget = 16 * 1024 * 1024
         cap = budget // (4 * width)
         # round down to a power of two >= 128

@@ -15,7 +15,7 @@ from .mesh import (
     replicated_sharding,
     shard_ensemble,
 )
-from .sharded import build_sharded_hmc_step, sharded_run_hmc
+from .sharded import build_sharded_hmc_step, shard_map_kernel, sharded_run_hmc
 from .distributed import initialize_distributed
 from .ring import (
     BODY_AXIS,
@@ -33,6 +33,7 @@ __all__ = [
     "replicated_sharding",
     "shard_ensemble",
     "build_sharded_hmc_step",
+    "shard_map_kernel",
     "sharded_run_hmc",
     "initialize_distributed",
     "BODY_AXIS",

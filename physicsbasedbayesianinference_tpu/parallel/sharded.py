@@ -16,12 +16,17 @@ manuals/SetUp.md:82-200; SURVEY.md §2 parallelism audit):
   prefer the GSPMD path below for throughput there; on standard pod
   runtimes shard_map is the explicit-control option.
 
-* :func:`sharded_run_hmc` — the zero-ceremony path: place the initial
-  positions with a walker sharding and call the ordinary
-  :func:`~..hmc.run_hmc`; GSPMD propagates the sharding through every scan.
-  Statistically identical to the single-device run (same RNG streams;
-  floating-point reduction order in the ensemble-mean adaptation statistics
-  may differ across shardings), which the parity tests check to tolerance.
+* :func:`sharded_run_hmc` — the zero-ceremony path: on TPU meshes it
+  runs the FUSED Pallas transition inside shard_map by default
+  (:func:`shard_map_kernel` composed through the standard
+  :func:`~..hmc.run_hmc` driver — the fused multi-chip product path,
+  VERDICT.md round-4 item 1); ``kernel="xla"`` selects the GSPMD
+  auto-partitioned scan instead, where XLA propagates the walker
+  sharding through every scan and inserts the scalar adaptation
+  collectives. Statistically both match the single-device run (RNG
+  streams per shard; floating-point reduction order in ensemble-mean
+  statistics may differ across shardings), which the parity tests check
+  to tolerance.
 """
 
 from __future__ import annotations
@@ -102,32 +107,146 @@ def build_sharded_hmc_step(kernel: HMCKernel, mesh: Mesh,
     return step
 
 
-def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
-                    **run_kwargs):
-    """GSPMD path: shard the initial positions over the mesh and run the
+def shard_map_kernel(kernel: HMCKernel, mesh: Mesh,
+                     axis_name: str = WALKER_AXIS) -> HMCKernel:
+    """Wrap a built HMC kernel so its transition runs INSIDE
+    ``jax.shard_map`` over the walker axis — the composition that lets the
+    fused Pallas engines execute multi-chip (GSPMD cannot partition a
+    ``pallas_call``; ``shard_map`` hands each device its walker block and
+    the kernel runs unpartitioned per shard).
 
-    standard :func:`~..hmc.run_hmc`; XLA partitions every scan over the
-    walker axis automatically and inserts the (scalar) collectives for the
-    adaptation reductions. Results match the unsharded run with the same key
-    up to floating-point reduction order.
+    The returned kernel has the standard ``step(key, state, step_size)``
+    interface, so it drops straight into :func:`~..hmc.run_hmc`'s warmup
+    and sampling scans: ensemble-mean adaptation statistics are computed
+    by the driver OUTSIDE the shard_map on the (sharded) global info
+    arrays, where XLA inserts the scalar cross-device reductions — the
+    same one-all-reduce-per-transition census as the GSPMD path
+    (BASELINE.md collective census). Each shard folds its mesh position
+    into the step key for an independent RNG stream.
 
-    The kernel is pinned to ``"xla"`` (unless the caller overrides):
-    GSPMD cannot partition a ``pallas_call``, so the fused engine under
-    auto-sharding would force a gather onto one device. The fused
-    multi-chip path is :func:`build_sharded_hmc_step` — pass it a
-    ``build_fused_hmc_kernel(...)`` kernel and each device runs the
-    pallas transition on its own walker shard inside ``shard_map``.
+    ``init`` places positions with the walker sharding before delegating,
+    so the initial (u, g) evaluation is sharded too.
     """
-    from ..hmc import run_hmc
+    _sharded_cache: dict = {}
+
+    def _sharded_for(state):
+        num_walkers = state.ensemble.q.shape[0]
+        mass_ndim = jnp.asarray(state.ensemble.mass).ndim
+        ck = (num_walkers, state.ensemble.q.shape[-1], mass_ndim)
+        hit = _sharded_cache.get(ck)
+        if hit is not None:
+            return hit
+        state_specs = _specs_like(state, num_walkers, axis_name)
+        info_specs = HMCInfo(
+            accept_prob=P(axis_name), accepted=P(axis_name),
+            energy_error=P(axis_name), divergent=P(axis_name),
+            potential_energy=P(axis_name), step_size=P())
+
+        def local_step(key, st, eps):
+            idx = jax.lax.axis_index(axis_name)
+            return kernel.step(jax.random.fold_in(key, idx), st, eps)
+
+        sharded = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), state_specs, P()),
+            out_specs=(state_specs, info_specs),
+            # pallas_call out_shape structs carry no varying-mesh-axes
+            # annotation; the specs above are the full contract
+            check_vma=False)
+        _sharded_cache[ck] = sharded
+        return sharded
+
+    def init(q, *, mass=1.0):
+        q = jax.device_put(jnp.asarray(q), walker_sharding(mesh, 2))
+        return kernel.init(q, mass=mass)
+
+    def step(key, state, step_size):
+        return _sharded_for(state)(key, state, jnp.asarray(step_size))
+
+    return HMCKernel(
+        init=init, step=step, num_steps=kernel.num_steps,
+        grad_evals_per_step=kernel.grad_evals_per_step,
+        kind=kernel.kind + "+shard_map", variant_for=kernel.variant_for)
+
+
+# (id(potential_fn), num_steps, temperature key, mesh devices) -> wrapped
+# kernel; value pins the refs (same pattern as hmc._KERNEL_CACHE)
+_SHARDED_KERNEL_CACHE: dict = {}
+
+
+def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
+                    kernel: str = "auto", **run_kwargs):
+    """The zero-ceremony multi-chip surface: run
+    :func:`~..hmc.run_hmc` with the ensemble sharded over the mesh's
+    walker axis (the reference's planned multi-node HMC, reference
+    manuals/SetUp.md:82-200).
+
+    ``kernel``:
+
+    * ``"auto"`` (default) — on an all-TPU mesh, run the FUSED Pallas
+      transition inside ``shard_map`` (:func:`shard_map_kernel` around
+      ``build_fused_hmc_kernel``): each device executes the
+      bench-headline single-kernel transition on its own walker block,
+      with per-shard RNG streams; adaptation statistics reduce with one
+      scalar all-reduce per transition. This is the fused multi-chip
+      path VERDICT.md round-4 item 1 requires as the product default.
+      On non-TPU meshes, fall back to ``"xla"`` below.
+    * ``"fused"`` — force the shard_map composition (off-TPU the fused
+      builder degrades to the composed XLA kernel inside the identical
+      shard_map shape — what the CPU-mesh CI and the multichip dryrun
+      exercise).
+    * ``"xla"`` — the GSPMD path: place the initial positions with a
+      walker sharding and let XLA auto-partition the ordinary scan
+      kernel. Statistically identical to the single-device run modulo
+      reduction order.
+
+    Both paths match the unsharded sampler's equilibrium statistics
+    (parity tests in tests/test_parallel.py / tests/test_pallas.py).
+    """
+    from ..hmc import build_fused_hmc_kernel, run_hmc
     from .mesh import make_walker_mesh
 
+    if kernel not in ("auto", "fused", "xla"):
+        raise ValueError(f"bad kernel={kernel!r} (want auto|fused|xla)")
     if mesh is None:
         mesh = make_walker_mesh()
-    run_kwargs.setdefault("kernel", "xla")
     init_q = jnp.asarray(init_q)
     if init_q.shape[0] % mesh.devices.size != 0:
         raise ValueError(
             f"num_walkers={init_q.shape[0]} must be divisible by the mesh "
             f"size {mesh.devices.size}")
+    is_tpu_mesh = all(d.platform == "tpu" for d in mesh.devices.flat)
+    if kernel == "auto":
+        kernel = "fused" if is_tpu_mesh else "xla"
+
+    if kernel == "fused":
+        num_steps = run_kwargs.get("num_steps")
+        if num_steps is None:
+            raise TypeError("sharded_run_hmc requires num_steps=")
+        temperature = run_kwargs.get("temperature", 1.0)
+        try:
+            ck = (id(potential_fn), int(num_steps), float(temperature),
+                  tuple(d.id for d in mesh.devices.flat),
+                  int(init_q.shape[-1]))
+        except TypeError:
+            ck = None
+        cached = _SHARDED_KERNEL_CACHE.get(ck) if ck is not None else None
+        if cached is not None:
+            wrapped = cached[0]
+        else:
+            from ..constants import NATURAL
+            fused = build_fused_hmc_kernel(
+                potential_fn, num_steps=int(num_steps),
+                temperature=temperature,
+                constants=run_kwargs.get("constants", NATURAL),
+                num_dims=int(init_q.shape[-1]))
+            wrapped = shard_map_kernel(fused, mesh)
+            if ck is not None:
+                _SHARDED_KERNEL_CACHE[ck] = (wrapped, potential_fn, mesh)
+        return run_hmc(key, potential_fn, init_q, **{
+            **run_kwargs, "kernel": wrapped})
+
+    # GSPMD path: shard the inputs, pin the partitionable XLA kernel
+    run_kwargs.setdefault("kernel", "xla")
     init_q = jax.device_put(init_q, walker_sharding(mesh, init_q.ndim))
     return run_hmc(key, potential_fn, init_q, **run_kwargs)

