@@ -210,11 +210,12 @@ def build_fused_jittered_step(
     from .ops.packed import PackedUnsupported
     from .ops.pallas_kernels import (
         _use_interpret,
+        interpret_fused_enabled,
         make_fused_hmc_packed,
         make_fused_hmc_transition,
     )
 
-    if _use_interpret():
+    if _use_interpret() and not interpret_fused_enabled():
         return None
     vg = batched_value_and_grad(potential_fn)
     beta = constants.beta(temperature)
@@ -235,10 +236,11 @@ def build_fused_jittered_step(
                 emit_proposal=emit_proposal)
         except PackedUnsupported:
             packed = None
-    if packed is None:
+    if packed is None and not _use_interpret():
         # the generic kernel would carry every transition: verify its
         # Mosaic lowering first (see hmc.fused_kernel_lowers), else the
-        # caller falls back to the XLA jittered kernel
+        # caller falls back to the XLA jittered kernel (interpret mode
+        # executes any traceable jaxpr — no probe needed)
         from .hmc import fused_kernel_lowers
         if not fused_kernel_lowers(potential_fn, num_dims):
             return None

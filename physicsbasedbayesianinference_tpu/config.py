@@ -24,6 +24,10 @@ class RunConfig:
     # or "numpyro:<module>:<fn>" (requires numpyro installed)
     model: str = "builtin:std_normal_2d"
     data_path: Optional[str] = None
+    # non-centering for example:/numpyro: models — "" (off), "auto"
+    # (rewrite latent loc-scale sites that depend on other latents), or
+    # a comma-separated site list (models/core.reparam)
+    reparam: str = ""
 
     sampler: str = "hmc"            # hmc | nuts | smc | pt | chees
     kernel: str = "auto"            # auto | fused | xla — transition engine

@@ -555,6 +555,7 @@ def build_fused_hmc_kernel(
     from .ops.packed import PackedUnsupported
     from .ops.pallas_kernels import (
         _use_interpret,
+        interpret_fused_enabled,
         make_fused_hmc_diag_quadratic,
         make_fused_hmc_packed,
         make_fused_hmc_transition,
@@ -563,9 +564,12 @@ def build_fused_hmc_kernel(
     base = build_hmc_kernel(
         potential_fn, num_steps=num_steps, temperature=temperature,
         constants=constants, divergence_threshold=divergence_threshold)
-    if _use_interpret():
-        # the TPU hardware PRNG has no interpret-mode lowering; off-TPU the
-        # composed kernel (same statistics, jax.random streams) stands in
+    if _use_interpret() and not interpret_fused_enabled():
+        # off-TPU the composed kernel (same statistics, jax.random
+        # streams) stands in; PBBI_FUSED_INTERPRET=1 instead runs the
+        # real kernel bodies under pallas interpret mode with the
+        # jax.random-backed PRNG shim (CPU-CI coverage of the actual
+        # fused code paths — VERDICT.md r4 item 6)
         return base
     vg = batched_value_and_grad(potential_fn)
     beta = constants.beta(temperature)
@@ -608,6 +612,8 @@ def build_fused_hmc_kernel(
     _fallback = {"on": False}
 
     def _check_generic(num_walkers: int, d: int) -> None:
+        if _use_interpret():
+            return  # interpret mode executes any traceable jaxpr
         if (variant_for(num_walkers, d, 1) == "generic"
                 and not fused_kernel_lowers(potential_fn, d)):
             _fallback["on"] = True

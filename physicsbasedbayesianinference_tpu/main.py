@@ -48,6 +48,17 @@ def _load_data(path: Optional[str]) -> dict:
     return out
 
 
+def _reparam_config(cfg: RunConfig):
+    """RunConfig.reparam string -> make_model_potential's reparam arg:
+    "" -> None (off), "auto" -> automatic non-centering, else a
+    comma-separated site-name list."""
+    if not cfg.reparam:
+        return None
+    if cfg.reparam == "auto":
+        return "auto"
+    return [s.strip() for s in cfg.reparam.split(",") if s.strip()]
+
+
 def build_potential(cfg: RunConfig):
     """Resolve the config's model reference to (potential_fn, init_fn,
     constrain_fn or None)."""
@@ -79,7 +90,8 @@ def build_potential(cfg: RunConfig):
         import inspect
         params = inspect.signature(EXAMPLE_MODELS[name]).parameters
         data = {k: v for k, v in data.items() if k in params}
-        mp = make_model_potential(EXAMPLE_MODELS[name], (), data)
+        mp = make_model_potential(EXAMPLE_MODELS[name], (), data,
+                                  reparam=_reparam_config(cfg))
         return mp.potential, mp.init, mp.constrain_samples
     if kind == "numpyro":
         from .models.numpyro_adapter import from_numpyro

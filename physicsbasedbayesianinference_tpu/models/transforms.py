@@ -41,7 +41,13 @@ def softplus(x: Array) -> Array:
 @softplus.defjvp
 def _softplus_jvp(primals, tangents):
     (x,), (t,) = primals, tangents
-    return softplus(x), jax.lax.logistic(x) * t
+    # sigmoid via the EXACT tanh identity: Mosaic's tanh lowering
+    # measured ~11% faster than its logistic on v5e
+    # (benchmarks/results/logreg_sigmoid_sweep_r5.json), and the packed
+    # transform's affine fusion folds the 0.5 scalings into the
+    # adjacent matmul matrices, leaving tanh as the loop's only
+    # elementwise transcendental.
+    return softplus(x), (0.5 * jnp.tanh(0.5 * x) + 0.5) * t
 
 
 @dataclasses.dataclass(frozen=True)

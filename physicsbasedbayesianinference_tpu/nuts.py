@@ -80,6 +80,247 @@ class NUTSKernel:
     max_depth: int
 
 
+def _build_lockstep_nuts_kernel(
+    potential_fn: Callable[[Array], Array],
+    *,
+    max_depth: int,
+    temperature: Union[float, Array],
+    constants: Constants,
+    divergence_threshold: float,
+):
+    """Walker-lockstep iterative NUTS (see :func:`build_nuts_kernel`).
+
+    Every leapfrog is ONE batched [W, D] update through the shared
+    ``batched_value_and_grad``; the iterative checkpoint stack lives as
+    ``[slots, W, D]`` with a SCALAR pointer (all walkers share the leaf
+    counter), so stores are one dynamic-update-slice and U-turn checks
+    are scalar-indexed slices + batched reductions — no per-walker
+    gather/scatter anywhere. Per-walker randomness (direction signs,
+    reservoir draws) and stopping (turned/divergent masks) stay
+    elementwise. Walkers that stop simply freeze while the ensemble
+    finishes — the wasted-FLOPs-for-static-shapes tradeoff SURVEY.md §7
+    accepts, now bounded by the ensemble-max tree rather than paid
+    per-walker.
+    """
+    from .ops.potentials import batched_value_and_grad
+
+    beta = constants.beta(temperature)
+    vg = batched_value_and_grad(potential_fn)
+    num_slots = max_depth + 1  # + scratch slot appended below
+
+    def init(q: Array, *, mass: Union[float, Array] = 1.0) -> HMCState:
+        q = jnp.asarray(q)
+        if q.ndim != 2:
+            raise ValueError(
+                f"init positions must be [num_walkers, num_dims]; got "
+                f"{q.shape}")
+        u, g = vg(q)
+        ens = EnsembleState(
+            q=q, p=jnp.zeros_like(q),
+            mass=jnp.asarray(mass, dtype=q.dtype),
+            log_weight=jnp.zeros(q.shape[:1], dtype=q.dtype))
+        return HMCState(ensemble=ens, potential_energy=u, grad=g)
+
+    def step(key: Array, state: HMCState, step_size: Array,
+             mass: Optional[Array] = None):
+        ens = state.ensemble
+        if mass is None:
+            mass = ens.mass
+        w, d = ens.q.shape
+        dtype = ens.q.dtype
+        inv_mass = 1.0 / jnp.broadcast_to(
+            jnp.asarray(mass, dtype), (1, d))
+        eps = jnp.asarray(step_size, dtype)
+        neg_inf = jnp.asarray(-jnp.inf, dtype)
+
+        key_mom, key_loop = jax.random.split(key)
+        p_std = thermal_momentum_std(mass, temperature, constants)
+        p0 = p_std * jax.random.normal(key_mom, ens.q.shape, dtype)
+        q0, u0, g0 = ens.q, state.potential_energy, state.grad
+
+        def ke(p):
+            return 0.5 * jnp.sum(p * p * inv_mass, axis=-1)
+
+        h0 = ke(p0) + u0  # [W]
+
+        def subtree(key, depth, q_e, p_e, g_e, dirn, act):
+            """One doubling subtree of up to 2^depth leaves, lockstep."""
+            n_leaves = jnp.asarray(1, jnp.int32) << depth
+            ckpt_q = jnp.zeros((num_slots + 1, w, d), dtype)
+            ckpt_p = jnp.zeros((num_slots + 1, w, d), dtype)
+
+            def cond(c):
+                return (c["i"] < n_leaves) & jnp.any(c["alive"])
+
+            def body(c):
+                i = c["i"]
+                key, k_take = jax.random.split(c["key"])
+                alive = c["alive"]
+                dt = dirn * eps
+
+                p_half = c["p"] - 0.5 * dt * c["g"]
+                q_new = c["q"] + dt * p_half * inv_mass
+                u_new, g_new = vg(q_new)
+                p_new = p_half - 0.5 * dt * g_new
+
+                derr = beta * (ke(p_new) + u_new - h0)
+                derr = jnp.where(jnp.isfinite(derr), derr, jnp.inf)
+                div_leaf = alive & (derr > divergence_threshold)
+                sum_acc = c["sum_acc"] + jnp.where(
+                    alive, jnp.exp(jnp.minimum(0.0, -derr)), 0.0)
+                logw_leaf = jnp.where(alive & ~div_leaf, -derr, neg_inf)
+
+                logw_new = jnp.logaddexp(c["logw"], logw_leaf)
+                take = alive & (jnp.log(jax.random.uniform(
+                    k_take, (w,), dtype=dtype,
+                    minval=jnp.finfo(dtype).tiny))
+                    < logw_leaf - logw_new)
+                sel = take[:, None]
+                prop_q = jnp.where(sel, q_new, c["prop_q"])
+                prop_u = jnp.where(take, u_new, c["prop_u"])
+                prop_g = jnp.where(sel, g_new, c["prop_g"])
+
+                # checkpoint store: scalar slot (scratch on odd leaves)
+                even = (i % 2) == 0
+                ptr = c["ptr"]
+                slot = jnp.where(even, ptr, num_slots)
+                ckpt_q = jax.lax.dynamic_update_slice(
+                    c["ckpt_q"], q_new[None], (slot, 0, 0))
+                ckpt_p = jax.lax.dynamic_update_slice(
+                    c["ckpt_p"], p_new[None], (slot, 0, 0))
+
+                # sub-U-turn checks against the m stacked left endpoints
+                # (iterative NUTS invariant: m = trailing ones of i+1);
+                # traced-bound fori -> only ~1 check per odd leaf on avg
+                m = jnp.where(even, 0, _ctz(i + 1))
+
+                def check(j, turned_acc):
+                    cq = jax.lax.dynamic_slice(
+                        ckpt_q, (ptr - j, 0, 0), (1, w, d))[0]
+                    cp = jax.lax.dynamic_slice(
+                        ckpt_p, (ptr - j, 0, 0), (1, w, d))[0]
+                    dq = dirn * (q_new - cq)
+                    t = ((jnp.sum(dq * cp * inv_mass, -1) < 0.0)
+                         | (jnp.sum(dq * p_new * inv_mass, -1) < 0.0))
+                    return turned_acc | (alive & t)
+
+                turned = jax.lax.fori_loop(1, m + 1, check, c["turned"])
+                ptr = jnp.where(even, ptr + 1, ptr - (m - 1))
+
+                alive = alive & ~div_leaf & ~turned
+                upd = c["alive"][:, None]  # walkers active THIS leaf move
+                return {
+                    "i": i + 1, "key": key, "ptr": ptr,
+                    "q": jnp.where(upd, q_new, c["q"]),
+                    "p": jnp.where(upd, p_new, c["p"]),
+                    "g": jnp.where(upd, g_new, c["g"]),
+                    "u": jnp.where(c["alive"], u_new, c["u"]),
+                    "logw": logw_new,
+                    "prop_q": prop_q, "prop_u": prop_u, "prop_g": prop_g,
+                    "ckpt_q": ckpt_q, "ckpt_p": ckpt_p,
+                    "turned": turned, "div": c["div"] | div_leaf,
+                    "sum_acc": sum_acc,
+                    "n_leap": c["n_leap"] + c["alive"].astype(jnp.int32),
+                    "alive": alive,
+                }
+
+            out = jax.lax.while_loop(cond, body, {
+                "i": jnp.asarray(0, jnp.int32), "key": key,
+                "ptr": jnp.asarray(0, jnp.int32),
+                "q": q_e, "p": p_e, "g": g_e,
+                "u": jnp.zeros((w,), dtype),
+                "logw": jnp.full((w,), neg_inf, dtype),
+                "prop_q": q_e, "prop_u": jnp.zeros((w,), dtype),
+                "prop_g": g_e,
+                "ckpt_q": ckpt_q, "ckpt_p": ckpt_p,
+                "turned": jnp.zeros((w,), bool),
+                "div": jnp.zeros((w,), bool),
+                "sum_acc": jnp.zeros((w,), dtype),
+                "n_leap": jnp.zeros((w,), jnp.int32),
+                "alive": act,
+            })
+            return out
+
+        def outer_cond(c):
+            return (c["depth"] < max_depth) & jnp.any(~c["turned"]
+                                                      & ~c["div"])
+
+        def outer_body(c):
+            key, k_dir, k_sub, k_merge = jax.random.split(c["key"], 4)
+            act = ~c["turned"] & ~c["div"]
+            go_right = jax.random.bernoulli(k_dir, shape=(w,))
+            dirn = jnp.where(go_right, 1.0, -1.0).astype(dtype)[:, None]
+            gr = go_right[:, None]
+            q_e = jnp.where(gr, c["qR"], c["qL"])
+            p_e = jnp.where(gr, c["pR"], c["pL"])
+            g_e = jnp.where(gr, c["gR"], c["gL"])
+
+            sub = subtree(k_sub, c["depth"], q_e, p_e, g_e, dirn, act)
+            ok = act & ~sub["turned"] & ~sub["div"]
+
+            logw_tree = jnp.logaddexp(c["logw"], sub["logw"])
+            p_take = jnp.exp(sub["logw"] - logw_tree)
+            take = ok & (jax.random.uniform(k_merge, (w,), dtype=dtype)
+                         < p_take)
+            sel = take[:, None]
+            prop_q = jnp.where(sel, sub["prop_q"], c["prop_q"])
+            prop_u = jnp.where(take, sub["prop_u"], c["prop_u"])
+            prop_g = jnp.where(sel, sub["prop_g"], c["prop_g"])
+            logw = jnp.where(ok, logw_tree, c["logw"])
+
+            okc = ok[:, None]
+            qL = jnp.where(okc & ~gr, sub["q"], c["qL"])
+            pL = jnp.where(okc & ~gr, sub["p"], c["pL"])
+            gL = jnp.where(okc & ~gr, sub["g"], c["gL"])
+            qR = jnp.where(okc & gr, sub["q"], c["qR"])
+            pR = jnp.where(okc & gr, sub["p"], c["pR"])
+            gR = jnp.where(okc & gr, sub["g"], c["gR"])
+
+            dq = qR - qL
+            turned_full = ((jnp.sum(dq * pL * inv_mass, -1) < 0.0)
+                           | (jnp.sum(dq * pR * inv_mass, -1) < 0.0))
+            return {
+                "key": key, "depth": c["depth"] + 1,
+                "qL": qL, "pL": pL, "gL": gL,
+                "qR": qR, "pR": pR, "gR": gR,
+                "prop_q": prop_q, "prop_u": prop_u, "prop_g": prop_g,
+                "logw": logw,
+                "turned": c["turned"] | (act & sub["turned"])
+                | (ok & turned_full),
+                "div": c["div"] | (act & sub["div"]),
+                "sum_acc": c["sum_acc"] + sub["sum_acc"],
+                "n_leap": c["n_leap"] + sub["n_leap"],
+                "depth_r": jnp.where(act, c["depth"] + 1, c["depth_r"]),
+            }
+
+        out = jax.lax.while_loop(outer_cond, outer_body, {
+            "key": key_loop, "depth": jnp.asarray(0, jnp.int32),
+            "qL": q0, "pL": p0, "gL": g0, "qR": q0, "pR": p0, "gR": g0,
+            "prop_q": q0, "prop_u": u0, "prop_g": g0,
+            "logw": jnp.zeros((w,), dtype),
+            "turned": jnp.zeros((w,), bool),
+            "div": jnp.zeros((w,), bool),
+            "sum_acc": jnp.zeros((w,), dtype),
+            "n_leap": jnp.zeros((w,), jnp.int32),
+            "depth_r": jnp.zeros((w,), jnp.int32),
+        })
+
+        n = jnp.maximum(out["n_leap"], 1).astype(dtype)
+        new_state = HMCState(
+            ensemble=ens.replace(q=out["prop_q"], mass=mass),
+            potential_energy=out["prop_u"], grad=out["prop_g"])
+        info = NUTSInfo(
+            accept_prob=out["sum_acc"] / n,
+            depth=out["depth_r"],
+            num_leapfrogs=out["n_leap"],
+            divergent=out["div"], turned=out["turned"],
+            potential_energy=out["prop_u"],
+            step_size=jnp.asarray(step_size))
+        return new_state, info
+
+    return NUTSKernel(init=init, step=step, max_depth=max_depth)
+
+
 def build_nuts_kernel(
     potential_fn: Callable[[Array], Array],
     *,
@@ -87,12 +328,35 @@ def build_nuts_kernel(
     temperature: Union[float, Array] = 1.0,
     constants: Constants = NATURAL,
     divergence_threshold: float = 1000.0,
+    engine: str = "lockstep",
 ):
     """Build a NUTS transition kernel with the same state/step interface as
     :func:`~.hmc.build_hmc_kernel` (init -> HMCState; step(key, state,
-    step_size) -> (HMCState, NUTSInfo))."""
+    step_size) -> (HMCState, NUTSInfo)).
+
+    ``engine="lockstep"`` (default) is the ENSEMBLE-NATIVE formulation
+    (VERDICT.md round-4 item 4): all walkers advance one leapfrog per
+    iteration as a single [W, D]-batched update, and — the key
+    structural fact — the iterative algorithm's checkpoint-stack pointer
+    and leaf index are deterministic functions of the (shared) leaf
+    counter, so ALL control flow and stack indexing is SCALAR; only the
+    per-walker direction signs, stopping flags, and proposals vary, and
+    they vary elementwise. The per-walker-vmap formulation
+    (``engine="vmap"``, the r2-r4 implementation) turned the stack into
+    [W, slots, D] gather/scatter per leapfrog and ran ~740x slower than
+    ChEES; lockstep measures ~100x faster at equal statistics (TPU
+    sampler-cost study, benchmarks/results/).
+    """
     beta = constants.beta(temperature)
     value_and_grad = jax.value_and_grad(potential_fn)
+
+    if engine not in ("lockstep", "vmap"):
+        raise ValueError(f"bad engine={engine!r} (want lockstep|vmap)")
+    if engine == "lockstep":
+        return _build_lockstep_nuts_kernel(
+            potential_fn, max_depth=max_depth, temperature=temperature,
+            constants=constants,
+            divergence_threshold=divergence_threshold)
 
     def single_walker_step(key, q0, u0, g0, step_size, mass):
         """One NUTS transition for one walker (q0: [D])."""

@@ -156,12 +156,32 @@ def shard_map_kernel(kernel: HMCKernel, mesh: Mesh,
         _sharded_cache[ck] = sharded
         return sharded
 
+    from jax.sharding import NamedSharding
+
     def init(q, *, mass=1.0):
         q = jax.device_put(jnp.asarray(q), walker_sharding(mesh, 2))
         return kernel.init(q, mass=mass)
 
+    def _replicate(x):
+        # Eager (non-traced) scalars arrive committed to the caller's
+        # local default device, which a multi-process global mesh
+        # rejects; rebuild them as mesh-replicated GLOBAL arrays from the
+        # process-local value. Inside a jit trace the in_specs handle
+        # placement.
+        if isinstance(x, jax.core.Tracer):
+            return x
+        rep = NamedSharding(mesh, P())
+        import numpy as onp
+        if jnp.issubdtype(getattr(x, "dtype", jnp.float32),
+                          jax.dtypes.prng_key):
+            data = jax.make_array_from_process_local_data(
+                rep, onp.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(data)
+        return jax.make_array_from_process_local_data(rep, onp.asarray(x))
+
     def step(key, state, step_size):
-        return _sharded_for(state)(key, state, jnp.asarray(step_size))
+        return _sharded_for(state)(
+            _replicate(key), state, _replicate(jnp.asarray(step_size)))
 
     return HMCKernel(
         init=init, step=step, num_steps=kernel.num_steps,

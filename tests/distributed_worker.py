@@ -28,6 +28,8 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> None:
     port, pid = sys.argv[1], int(sys.argv[2])
+    mode = sys.argv[3] if len(sys.argv) > 3 else "basic"
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
     # jax.distributed.initialize must run before anything touches the XLA
     # backend, and importing the package initialises it — so load
@@ -55,6 +57,10 @@ def main() -> None:
     mesh = Mesh(np.array(jax.devices()), ("walkers",))
     w, d = 64, 4
     sharding = NamedSharding(mesh, P("walkers", None))
+
+    if mode in ("fused_ckpt_run", "fused_ckpt_resume"):
+        _fused_ckpt(info, mesh, sharding, mode, ckpt_dir)
+        return
 
     # deterministic global data; each process materialises only its
     # addressable shards
@@ -85,6 +91,64 @@ def main() -> None:
         "accept": float(jnp.mean(step_info.accept_prob)),
         "mean_q": float(jnp.mean(st.ensemble.q)),
         "mean_u": float(jnp.mean(st.potential_energy)),
+    }))
+
+
+def _fused_ckpt(info, mesh, sharding, mode, ckpt_dir):
+    """Full multi-host recovery story in one flow (VERDICT.md round-4
+    item 8): the fused-kernel shard_map composition (CPU degrades to the
+    XLA kernel inside the identical shard_map shape) runs 10 transitions
+    across 2 processes, checkpointing the sharded sampler state at
+    transition 5 through orbax; the ``resume`` phase is a FRESH 2-process
+    cluster that restores the checkpoint and replays transitions 5..9.
+    The parent asserts the resumed moments equal the uninterrupted run's
+    bit-for-bit."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import physicsbasedbayesianinference_tpu as pbbi
+    from physicsbasedbayesianinference_tpu.checkpoint import (
+        CheckpointManager)
+    from physicsbasedbayesianinference_tpu.ops import potentials as pot
+    from physicsbasedbayesianinference_tpu.parallel.sharded import (
+        shard_map_kernel)
+
+    d = 4
+    w = 64
+    fused = pbbi.build_fused_hmc_kernel(pot.make_standard_normal(d),
+                                        num_steps=4)
+    kernel = shard_map_kernel(fused, mesh)
+    qnp = np.asarray(
+        jax.random.normal(jax.random.key(11), (w, d), jnp.float32))
+    q0 = jax.make_array_from_callback((w, d), sharding,
+                                      lambda idx: qnp[idx])
+    state = kernel.init(q0)
+    eps = jnp.float32(0.45)
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=1)
+
+    start = 0
+    if mode == "fused_ckpt_resume":
+        state = mgr.restore(state)
+        start = 5
+    for i in range(start, 10):
+        state, _ = kernel.step(jax.random.key(100 + i), state, eps)
+        if i == 4 and mode == "fused_ckpt_run":
+            mgr.save(5, state, force=True)
+    mgr.close()
+
+    q = state.ensemble.q
+    print(json.dumps({
+        "process_index": info["process_index"],
+        "process_count": info["process_count"],
+        "global_devices": info["global_devices"],
+        "local_devices": info["local_devices"],
+        "kernel_kind": kernel.kind,
+        "mean_q": float(jnp.mean(q)),
+        "mean_q2": float(jnp.mean(q * q)),
+        "mean_u": float(jnp.mean(state.potential_energy)),
     }))
 
 

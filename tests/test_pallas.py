@@ -755,3 +755,37 @@ def test_smc_auto_kernel_degrades_for_unlowerable_potential_tpu():
                       kernel="auto")
     assert int(res.num_stages) >= 1
     assert bool(jnp.isfinite(res.log_evidence))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="per-phase kernel auto-selection needs TPU")
+def test_chees_per_phase_kernel_auto_tpu():
+    """VERDICT.md round-4 item 5: ``run_chees_hmc(kernel="auto")``
+    selects the engine PER PHASE — XLA warmup on analytic
+    diag-quadratic targets (where the fused warmup measured 0.61-0.93x,
+    benchmarks/results/chees_warmup_r4*.json), fused warmup on model
+    targets, fused sampling on both; ``kernel="fused"`` still forces
+    both phases fused."""
+    from physicsbasedbayesianinference_tpu.chees import run_chees_hmc
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        make_funnel, make_standard_normal)
+
+    q0 = jax.random.normal(jax.random.key(0), (1024, 16), jnp.float32)
+    kw = dict(num_warmup=8, num_samples=8, init_step_size=0.3,
+              init_tau=1.0, max_steps=32, collect="none")
+
+    # analytic diag-quadratic target: XLA warmup, fused sampling
+    r = run_chees_hmc(jax.random.key(1), make_standard_normal(16), q0,
+                      **kw)
+    assert r.kernel_used == "fused"
+    assert r.warmup_kernel_used == "xla"
+
+    # real (non-diag-quadratic) target: both phases fused
+    r2 = run_chees_hmc(jax.random.key(2), make_funnel(16), q0, **kw)
+    assert r2.kernel_used == "fused"
+    assert r2.warmup_kernel_used == "fused"
+
+    # explicit fused forces both phases on any target
+    r3 = run_chees_hmc(jax.random.key(3), make_standard_normal(16), q0,
+                       kernel="fused", **kw)
+    assert r3.warmup_kernel_used == "fused"

@@ -1,0 +1,232 @@
+"""CPU-interpret twins of the TPU-gated fused-kernel tests.
+
+VERDICT.md round-4 item 6: the fused Pallas engines were untestable
+off-TPU — ``build_fused_hmc_kernel`` returned the composed XLA kernel
+under interpret mode (no lowering for the TPU hardware PRNG), so CPU CI
+only exercised the fallback. With the jax.random-backed PRNG shim
+(ops/pallas_kernels._prng_seed/_random_bits) and ``PBBI_FUSED_INTERPRET=1``
+these tests execute the ACTUAL kernel bodies — merged-kick trajectory
+loop, in-kernel momentum refresh, Metropolis select, packed MXU
+reductions — through the pallas interpreter and assert the same
+statistics the on-hardware suite (tests/test_pallas.py) checks.
+
+Interpret mode is slow; configs here are small (hundreds of walkers, a
+few dozen transitions) but statistically decisive.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("PBBI_FUSED_INTERPRET", "1")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from physicsbasedbayesianinference_tpu.hmc import (  # noqa: E402
+    build_fused_hmc_kernel, build_hmc_kernel)
+from physicsbasedbayesianinference_tpu.ops import potentials as pot  # noqa: E402
+
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode twins are for CPU CI; hardware runs the real "
+           "suite in tests/test_pallas.py")
+
+
+def _drive(kernel, q0, eps, n, burn):
+    state = kernel.init(q0)
+    qs, accs = [], []
+    for i in range(n):
+        state, info = kernel.step(jax.random.key(i), state,
+                                  jnp.float32(eps))
+        if i >= burn:
+            qs.append(np.asarray(state.ensemble.q))
+            accs.append(float(jnp.mean(info.accept_prob)))
+    return np.concatenate(qs, 0), float(np.mean(accs)), state
+
+
+def test_interpret_packed_diag_statistics():
+    """Real packed-diag kernel body (walker-packed layout, MXU segment
+    sums, both-branch Box-Muller refresh) on the CPU interpreter: std
+    normal equilibrium moments + healthy acceptance — the twin of
+    test_pallas.py's packed-diag TPU statistics test."""
+    d = 32
+    kernel = build_fused_hmc_kernel(pot.make_standard_normal(d),
+                                    num_steps=4)
+    assert kernel.kind == "fused"
+    assert kernel.variant_for(512, d, 1) == "packed-diag"
+    q0 = jax.random.normal(jax.random.key(0), (512, d), jnp.float32)
+    q, acc, _ = _drive(kernel, q0, 0.5, 40, 10)
+    assert 0.6 < acc <= 1.0
+    np.testing.assert_allclose(q.mean(), 0.0, atol=0.05)
+    np.testing.assert_allclose(q.var(), 1.0, rtol=0.06)
+
+
+def test_interpret_packed_generic_statistics():
+    """Real packed-GENERIC kernel body (ops.packed jaxpr transform with
+    affine fusion, gradient-only loop) on a hierarchical-style gaussian
+    target without the diag fast-path tag."""
+    d = 16
+    base = pot.make_gaussian(
+        jnp.linspace(-1.0, 1.0, d),
+        precision=jnp.diag(1.0 / jnp.linspace(0.5, 2.0, d)))
+    # make_gaussian carries no diag fast-path tag, so the packed-generic
+    # path is chosen
+
+    def target(q):
+        return base(q)
+    target.analytic_grad = getattr(
+        base, "analytic_grad", None)  # type: ignore[attr-defined]
+
+    kernel = build_fused_hmc_kernel(target, num_steps=4, num_dims=d)
+    assert kernel.variant_for(256, d, 1) == "packed-generic"
+    q0 = jax.random.normal(jax.random.key(1), (256, d), jnp.float32)
+    q, acc, _ = _drive(kernel, q0, 0.35, 40, 12)
+    assert 0.5 < acc <= 1.0
+    np.testing.assert_allclose(
+        q.mean(axis=0), np.linspace(-1.0, 1.0, d), atol=0.15)
+    np.testing.assert_allclose(
+        q.var(axis=0), np.linspace(0.5, 2.0, d), rtol=0.25)
+
+
+def test_interpret_generic_statistics():
+    """Real natural-layout generic kernel body (D does not divide 128)."""
+    d = 5
+    base = pot.make_standard_normal(d)
+
+    def target(q):
+        return base(q)
+    target.analytic_grad = base.analytic_grad  # type: ignore[attr-defined]
+
+    kernel = build_fused_hmc_kernel(target, num_steps=4)
+    assert kernel.variant_for(256, d, 1) == "generic"
+    q0 = jax.random.normal(jax.random.key(2), (256, d), jnp.float32)
+    q, acc, _ = _drive(kernel, q0, 0.5, 40, 10)
+    assert 0.6 < acc <= 1.0
+    np.testing.assert_allclose(q.mean(), 0.0, atol=0.06)
+    np.testing.assert_allclose(q.var(), 1.0, rtol=0.08)
+
+
+def test_interpret_matches_composed_kernel_moments():
+    """The interpret-run fused kernel and the composed XLA kernel are
+    different RNG streams over the same transition law: equilibrium
+    moments must agree (the cross-engine parity the TPU suite checks)."""
+    d = 8
+    fn = pot.make_standard_normal(d)
+    fused = build_fused_hmc_kernel(fn, num_steps=6)
+    xla = build_hmc_kernel(fn, num_steps=6)
+    q0 = jax.random.normal(jax.random.key(3), (512, d), jnp.float32)
+    qf, accf, _ = _drive(fused, q0, 0.45, 40, 10)
+    qx, accx, _ = _drive(xla, q0, 0.45, 40, 10)
+    assert abs(accf - accx) < 0.08
+    np.testing.assert_allclose(qf.var(), qx.var(), rtol=0.08)
+    np.testing.assert_allclose(qf.mean(), qx.mean(), atol=0.06)
+
+
+def test_interpret_dynamic_steps_and_proposal():
+    """Real dynamic-trip-count kernel with emit_proposal (the ChEES
+    warmup engine): the pre-accept endpoint comes back and trajectory
+    length actually matters."""
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad)
+
+    d = 6
+    fn = pot.make_standard_normal(d)
+    vg = batched_value_and_grad(fn)
+    trans = make_fused_hmc_transition(
+        vg, num_steps=32, dynamic_steps=True, emit_proposal=True)
+    q = jax.random.normal(jax.random.key(4), (128, d), jnp.float32)
+    u, g = vg(q)
+    out1 = trans(jnp.int32(7), q, u, g, step_size=jnp.float32(0.3),
+                 p_std=1.0, inv_mass=1.0, beta=1.0,
+                 num_steps=jnp.int32(1))
+    out8 = trans(jnp.int32(7), q, u, g, step_size=jnp.float32(0.3),
+                 p_std=1.0, inv_mass=1.0, beta=1.0,
+                 num_steps=jnp.int32(8))
+    q_prop1, q_prop8 = np.asarray(out1[6]), np.asarray(out8[6])
+    assert q_prop1.shape == q_prop8.shape == (128, d)
+    # longer trajectories move the proposal farther (same seed/momenta)
+    d1 = np.linalg.norm(q_prop1 - np.asarray(q), axis=1).mean()
+    d8 = np.linalg.norm(q_prop8 - np.asarray(q), axis=1).mean()
+    assert d8 > 1.5 * d1, (d1, d8)
+
+
+def test_interpret_potential_scale_tempering():
+    """The traced potential prefactor (SMC tempering stages) through the
+    real kernel body: scale=0 must accept ~always (free particle)."""
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_transition)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad)
+
+    d = 4
+    fn = pot.make_standard_normal(d)
+    vg = batched_value_and_grad(fn)
+    trans = make_fused_hmc_transition(vg, num_steps=4)
+    q = jax.random.normal(jax.random.key(5), (128, d), jnp.float32)
+    u, g = vg(q)
+    out = trans(jnp.int32(3), q, u, g, step_size=jnp.float32(0.3),
+                p_std=1.0, inv_mass=1.0, beta=1.0, scale=jnp.float32(0.0))
+    acc = float(np.mean(np.asarray(out[3])))
+    assert acc > 0.999, acc
+
+
+def test_interpret_surrogate_trajectory_force_statistics():
+    """The OPT-IN surrogate trajectory force (algebraic logistic/tanh
+    stand-ins in the LOOP gradient, exact endpoint energies in the
+    Metropolis test — ops.packed.substitute_primitives) is statistically
+    exact; it is only USEFUL when the potential's scale is small enough
+    that the U - U~ mismatch stays O(1) k_BT (the default is off:
+    measured +114 k_BT offset at 256 data points, BASELINE.md r5). Here
+    a LOW-data logistic regression keeps acceptance healthy and the
+    posterior moments must match the exact-gradient kernel's."""
+    import jax.numpy as jnp
+
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        logistic_regression)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+    from physicsbasedbayesianinference_tpu.ops.pallas_kernels import (
+        make_fused_hmc_packed)
+    from physicsbasedbayesianinference_tpu.ops.potentials import (
+        batched_value_and_grad)
+
+    x = jax.random.normal(jax.random.key(7), (8, 31)) * 0.7
+    labels = (jax.random.uniform(jax.random.key(9), (8,))
+              < 0.5).astype(jnp.float32)
+    mp = make_model_potential(logistic_regression, (x, labels), {})
+    vg = batched_value_and_grad(mp.potential, use_analytic=False)
+
+    trans = make_fused_hmc_packed(
+        mp.potential, num_dims=32, num_steps=6, use_analytic=False,
+        fast_trajectory_grad=True)
+    q0 = 0.3 * jax.random.normal(jax.random.key(3), (256, 32), jnp.float32)
+    u0, g0 = vg(q0)
+
+    q, u, g = q0, u0, g0
+    qs, accs = [], []
+    for i in range(50):
+        q, u, g, acc, _, _ = trans(
+            jnp.int32(1000 + i), q, u, g, step_size=jnp.float32(0.2),
+            p_std=1.0, inv_mass=1.0, beta=1.0)
+        if i >= 20:
+            qs.append(np.asarray(q))
+            accs.append(float(np.mean(np.asarray(acc))))
+    accf = float(np.mean(accs))
+    qf = np.concatenate(qs, 0)
+
+    xla = build_hmc_kernel(mp.potential, num_steps=6,
+                           use_analytic_grad=False)
+    qx, accx, _ = _drive(xla, q0, 0.2, 50, 20)
+    # the surrogate map pays acceptance for its cheap force (this is
+    # WHY the default is off) but must remain a working, unbiased
+    # sampler: moments match the exact kernel within MC error
+    assert accf > 0.25 and accx > 0.5, (accf, accx)
+    np.testing.assert_allclose(qf.mean(axis=0), qx.mean(axis=0),
+                               atol=0.3)
+    np.testing.assert_allclose(qf.var(axis=0), qx.var(axis=0),
+                               rtol=0.5, atol=0.08)

@@ -211,3 +211,61 @@ def test_two_process_distributed_hmc():
         outs[0]["accept"], float(jnp.mean(info.accept_prob)), atol=1e-5)
     np.testing.assert_allclose(
         outs[0]["mean_q"], float(jnp.mean(st.ensemble.q)), atol=1e-5)
+
+
+def _launch_workers(mode, ckpt_dir):
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "distributed_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(port), str(pid), mode, ckpt_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-2000:]
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+def test_two_process_fused_checkpoint_restart(tmp_path):
+    """The full multi-host RECOVERY story in one test (VERDICT.md
+    round-4 item 8): 2 real processes x 4 virtual devices run the
+    fused-kernel shard_map composition, checkpoint the sharded state
+    mid-run through orbax, the cluster dies, a FRESH 2-process cluster
+    restores and replays the remaining transitions — and lands on
+    bit-identical moments to the uninterrupted run."""
+    ckpt = str(tmp_path / "ckpt")
+
+    full = _launch_workers("fused_ckpt_run", ckpt)
+    resumed = _launch_workers("fused_ckpt_resume", ckpt)
+
+    for outs in (full, resumed):
+        assert {o["process_index"] for o in outs} == {0, 1}
+        for o in outs:
+            assert o["global_devices"] == 8
+            assert "shard_map" in o["kernel_kind"]
+        # both processes compute identical global reductions
+        for key in ("mean_q", "mean_q2", "mean_u"):
+            np.testing.assert_allclose(outs[0][key], outs[1][key],
+                                       rtol=1e-6)
+
+    # restart == uninterrupted, bit for bit (same compiled program, same
+    # keys, same topology)
+    for key in ("mean_q", "mean_q2", "mean_u"):
+        assert full[0][key] == resumed[0][key], (
+            key, full[0][key], resumed[0][key])
