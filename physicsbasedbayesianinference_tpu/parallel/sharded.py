@@ -158,9 +158,33 @@ def shard_map_kernel(kernel: HMCKernel, mesh: Mesh,
 
     from jax.sharding import NamedSharding
 
+    def _globalize_state(state):
+        """Re-place any process-local leaves (e.g. the scalar mass and
+        the fresh log_weight zeros kernel.init creates eagerly) as
+        GLOBAL arrays over the mesh — a multi-process shard_map rejects
+        single-process-committed inputs. Leaves already spanning
+        processes (q and everything GSPMD derived from it) are not
+        fully addressable and pass through untouched."""
+        num_walkers = state.ensemble.q.shape[0]
+        specs = _specs_like(state, num_walkers, axis_name)
+
+        def fix(x, spec):
+            if not isinstance(x, jax.Array) \
+                    or not x.sharding.is_fully_addressable:
+                return x
+            sh = NamedSharding(mesh, spec)
+            if x.sharding.is_equivalent_to(sh, x.ndim):
+                return x
+            import numpy as onp
+            xn = onp.asarray(x)
+            return jax.make_array_from_callback(
+                xn.shape, sh, lambda idx, xn=xn: xn[idx])
+
+        return jax.tree_util.tree_map(fix, state, specs)
+
     def init(q, *, mass=1.0):
         q = jax.device_put(jnp.asarray(q), walker_sharding(mesh, 2))
-        return kernel.init(q, mass=mass)
+        return _globalize_state(kernel.init(q, mass=mass))
 
     def _replicate(x):
         # Eager (non-traced) scalars arrive committed to the caller's

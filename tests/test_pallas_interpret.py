@@ -14,25 +14,29 @@ Interpret mode is slow; configs here are small (hundreds of walkers, a
 few dozen transitions) but statistically decisive.
 """
 
-import os
-
 import numpy as np
 import pytest
 
-os.environ.setdefault("PBBI_FUSED_INTERPRET", "1")
+import jax
+import jax.numpy as jnp
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
-from physicsbasedbayesianinference_tpu.hmc import (  # noqa: E402
+from physicsbasedbayesianinference_tpu.hmc import (
     build_fused_hmc_kernel, build_hmc_kernel)
-from physicsbasedbayesianinference_tpu.ops import potentials as pot  # noqa: E402
+from physicsbasedbayesianinference_tpu.ops import potentials as pot
 
 
 pytestmark = pytest.mark.skipif(
     jax.default_backend() == "tpu",
     reason="interpret-mode twins are for CPU CI; hardware runs the real "
            "suite in tests/test_pallas.py")
+
+
+@pytest.fixture(autouse=True)
+def _enable_fused_interpret(monkeypatch):
+    # scoped per-test (NOT at import time — the env var must not leak
+    # into the rest of the pytest process, where it would silently turn
+    # every fused-kernel fallback into a slow interpreted kernel)
+    monkeypatch.setenv("PBBI_FUSED_INTERPRET", "1")
 
 
 def _drive(kernel, q0, eps, n, burn):
