@@ -113,26 +113,33 @@ def run(cfg: RunConfig) -> dict:
     key, k_init, k_run = jax.random.split(key, 3)
     init_q = init_fn(k_init, cfg.num_walkers)
 
+    sharded_mesh = None
     if cfg.sharded:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from .parallel.mesh import WALKER_AXIS, make_walker_mesh
         mesh = make_walker_mesh()
         init_q = jax.device_put(
             init_q, NamedSharding(mesh, P(WALKER_AXIS, None)))
-        if len(jax.devices()) > 1:
-            # GSPMD cannot partition a pallas_call; the fused multi-chip
-            # path is parallel.sharded.build_sharded_hmc_step (shard_map).
-            # A local copy (not cfg mutation: the caller's config must not
-            # silently record a kernel the user never set) pins "auto" to
-            # the partitionable engine; an EXPLICIT "fused" fails fast
-            # rather than reaching the partitioner with an unpartitionable
-            # pallas_call (cryptic XLA error or a full one-device gather).
+        if cfg.sampler == "hmc" and cfg.metric == "diag" \
+                and not cfg.checkpoint_dir and cfg.collect != "stream":
+            # the fused multi-chip product path: run_hmc through
+            # shard_map_kernel(build_fused_hmc_kernel(...)) — 0.90x the
+            # unpartitioned fused kernel vs the GSPMD scan's 0.12x
+            # (benchmarks/results/sharded_fused_r5.json)
+            sharded_mesh = mesh
+        elif len(jax.devices()) > 1:
+            # all other sharded paths ride GSPMD, which cannot partition
+            # a pallas_call. A local copy (not cfg mutation: the
+            # caller's config must not silently record a kernel the user
+            # never set) pins "auto" to the partitionable engine; an
+            # EXPLICIT "fused" fails fast rather than reaching the
+            # partitioner with an unpartitionable pallas_call.
             if cfg.kernel == "fused":
                 raise ValueError(
                     "kernel='fused' cannot run under GSPMD auto-sharding "
                     "(pallas_call is not partitionable); use kernel='auto'"
-                    "/'xla' here, or compose the fused kernel with "
-                    "parallel.sharded.build_sharded_hmc_step (shard_map)")
+                    "/'xla' here, or sampler='hmc' whose sharded path "
+                    "runs the fused kernel inside shard_map")
             if cfg.kernel == "auto":
                 cfg = dataclasses.replace(cfg, kernel="xla")
                 print("# sharded run: kernel=auto -> xla (GSPMD path)",
@@ -171,15 +178,21 @@ def run(cfg: RunConfig) -> dict:
         return summary
 
     if cfg.sampler == "hmc":
-        from .hmc import run_hmc
-        res = run_hmc(
-            k_run, potential_fn, init_q,
+        kw = dict(
             num_warmup=cfg.num_warmup, num_samples=cfg.num_samples,
             num_steps=cfg.num_steps, init_step_size=cfg.init_step_size,
             target_accept=cfg.target_accept, adapt_mass=cfg.adapt_mass,
             temperature=cfg.temperature, constants=constants,
-            collect=cfg.collect, thin=cfg.thin, kernel=cfg.kernel,
-            metric=cfg.metric)
+            collect=cfg.collect, thin=cfg.thin)
+        if sharded_mesh is not None:
+            from .parallel.sharded import sharded_run_hmc
+            res = sharded_run_hmc(k_run, potential_fn, init_q,
+                                  mesh=sharded_mesh, kernel=cfg.kernel,
+                                  **kw)
+        else:
+            from .hmc import run_hmc
+            res = run_hmc(k_run, potential_fn, init_q, kernel=cfg.kernel,
+                          metric=cfg.metric, **kw)
         samples = res.samples
         summary.update(
             accept_rate=float(res.accept_rate),
