@@ -34,7 +34,7 @@ _SCRIPT_T0 = time.time()
 # timeout the already-measured headline was discarded (BENCH_r03.json =
 # rc=124/null). Now the headline prints+flushes the moment it exists and
 # every extra derives its remaining time from this budget.
-TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "900"))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1300"))
 
 
 def _remaining() -> float:
@@ -201,25 +201,30 @@ def main():
             result["detail"]["run_hmc_surface"] = {"error": repr(e)[:300]}
     else:
         result["detail"]["run_hmc_surface"] = {"skipped": "budget"}
-    models = model_benches()
-    result["detail"]["models"] = models
-    best = None
-    for tgt, kinds in models.items():
-        row = kinds.get("chees")
-        if isinstance(row, dict) and "min_ess_per_sec" in row:
-            if best is None or row["min_ess_per_sec"] > best["value"]:
-                best = {"target": tgt,
-                        "value": round(row["min_ess_per_sec"]),
-                        "mean_steps": row.get("mean_steps")}
-    if best is not None:
-        # FIRST-CLASS second headline (VERDICT.md round-4 item 7): what a
-        # practitioner actually buys — adaptive-sampler min-ESS/s on a
-        # real model, not transitions/s on a synthetic one. Top-level,
-        # beside the synthetic metric, so progress is driven by model
-        # throughput too.
-        result["real_model_min_ess_per_sec"] = best
-        result["detail"]["real_model_chees_min_ess_per_sec"] = best
-    print(json.dumps(result), flush=True)
+
+    def emit(models):
+        """Re-print the full enriched record after every model cell: the
+        driver parses the LAST stdout line, so an external timeout at
+        any point still captures every cell completed so far (the r3
+        lesson, now applied at cell granularity)."""
+        result["detail"]["models"] = models
+        best = None
+        for tgt, kinds in models.items():
+            row = kinds.get("chees")
+            if isinstance(row, dict) and "min_ess_per_sec" in row:
+                if best is None or row["min_ess_per_sec"] > best["value"]:
+                    best = {"target": tgt,
+                            "value": round(row["min_ess_per_sec"]),
+                            "mean_steps": row.get("mean_steps")}
+        if best is not None:
+            # FIRST-CLASS second headline (VERDICT.md round-4 item 7):
+            # what a practitioner actually buys — adaptive-sampler
+            # min-ESS/s on a real model, beside the synthetic metric
+            result["real_model_min_ess_per_sec"] = best
+            result["detail"]["real_model_chees_min_ess_per_sec"] = best
+        print(json.dumps(result), flush=True)
+
+    model_benches(emit)
 
 
 def run_hmc_surface_bench(target, step_size):
@@ -252,7 +257,7 @@ def run_hmc_surface_bench(target, step_size):
     }
 
 
-def model_benches():
+def model_benches(emit=None):
     """Real-model benches (VERDICT.md round-1 item 1 / round-2 items 3+4):
     each case in its own subprocess (benchmarks/model_bench.py) so a
     tunnel hang or per-case compile failure cannot take down the headline
@@ -264,6 +269,12 @@ def model_benches():
     round-2 item 3): success -> transitions/s (dict with min_ess_per_sec
     for the chees kind), budget exhaustion -> {"skipped": "budget"},
     failure -> {"error": <last stderr line>}.
+    Cell ORDER is importance-first (r5: the r4 run burnt its budget on
+    generic/packed cells and timed out on the last chees cell): all
+    three targets' chees (the practitioner metric + real-model
+    headline), then packed (the perf showcases), then generic — budget
+    exhaustion degrades the least important cells first. ``emit`` (the
+    incremental result printer) is called after every cell.
     Returns {target: {kind: result}}."""
     import os
     import subprocess
@@ -273,57 +284,71 @@ def model_benches():
     budget = float(os.environ.get("BENCH_MODEL_BUDGET_S",
                                   str(max(_remaining(), 0.0))))
     deadline = time.time() + budget
-    out: dict = {}
-    for target in ("funnel_16", "eight_schools_nc_p16", "logreg_32_n256"):
-        for kind in ("generic", "packed", "chees"):
-            remaining = deadline - time.time()
-            if remaining < 30.0:
-                out.setdefault(target, {})[kind] = {"skipped": "budget"}
-                continue
-            try:
-                r = subprocess.run(
-                    [_sys.executable, script, target, kind],
-                    capture_output=True, text=True,
-                    timeout=min(420.0, remaining))
-                line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
-                row = json.loads(line)
-                if kind == "chees":
-                    out.setdefault(target, {})[kind] = {
-                        "min_ess_per_sec": round(row["min_ess_per_sec"]),
-                        "transitions_per_sec": round(
-                            row["transitions_per_sec"]),
-                        "mean_steps": round(row["mean_steps"], 1),
-                        "engine": row["engine"],
-                    }
-                else:
-                    out.setdefault(target, {})[kind] = round(
-                        row["transitions_per_sec"])
-            except subprocess.TimeoutExpired:
+    targets = ("funnel_16", "eight_schools_nc_p16", "logreg_32_n256")
+    # criterion-importance order: the three chees cells feed the
+    # real-model headline; logreg packed is the VERDICT r4 item-2
+    # number; generics are informational. Cells are pre-seeded as
+    # skipped so ANY external cutoff leaves an honest record (the
+    # incremental emit then upgrades them in this order).
+    cells = [("chees", t) for t in targets]
+    cells += [("packed", "logreg_32_n256"), ("packed", "funnel_16"),
+              ("packed", "eight_schools_nc_p16")]
+    cells += [("generic", t) for t in targets]
+    out: dict = {t: {k: {"skipped": "budget"}
+                     for k in ("chees", "packed", "generic")}
+                 for t in targets}
+    for kind, target in cells:
+        remaining = deadline - time.time()
+        if remaining < 240.0:
+            # cells measure ~130-280 s through the tunnel; starting with
+            # less would end as a timeout ERROR rather than a skip
+            continue
+        try:
+            r = subprocess.run(
+                [_sys.executable, script, target, kind],
+                capture_output=True, text=True,
+                timeout=min(420.0, remaining))
+            line = r.stdout.strip().splitlines()[-1] if r.stdout else ""
+            row = json.loads(line)
+            if kind == "chees":
                 out.setdefault(target, {})[kind] = {
-                    "error": "timeout (tunnel hang or compile > budget)"}
-            except Exception:
-                tail = ""
-                try:
-                    text = (r.stderr or r.stdout or "").strip()
-                    lines = [ln.strip() for ln in text.splitlines()
-                             if ln.strip()]
-                    # prefer the actual exception line ("FooError: ...")
+                    "min_ess_per_sec": round(row["min_ess_per_sec"]),
+                    "transitions_per_sec": round(
+                        row["transitions_per_sec"]),
+                    "mean_steps": round(row["mean_steps"], 1),
+                    "engine": row["engine"],
+                }
+            else:
+                out.setdefault(target, {})[kind] = round(
+                    row["transitions_per_sec"])
+        except subprocess.TimeoutExpired:
+            out.setdefault(target, {})[kind] = {
+                "error": "timeout (tunnel hang or compile > budget)"}
+        except Exception:
+            tail = ""
+            try:
+                text = (r.stderr or r.stdout or "").strip()
+                lines = [ln.strip() for ln in text.splitlines()
+                         if ln.strip()]
+                # prefer the actual exception line ("FooError: ...")
+                for ln in reversed(lines):
+                    if ("Error" in ln or "Exception" in ln) \
+                            and ":" in ln and "WARNING" not in ln \
+                            and "removed its internal" not in ln:
+                        tail = ln[-300:]
+                        break
+                if not tail:
                     for ln in reversed(lines):
-                        if ("Error" in ln or "Exception" in ln) \
-                                and ":" in ln and "WARNING" not in ln \
-                                and "removed its internal" not in ln:
+                        if "WARNING" not in ln \
+                                and not ln.startswith("["):
                             tail = ln[-300:]
                             break
-                    if not tail:
-                        for ln in reversed(lines):
-                            if "WARNING" not in ln \
-                                    and not ln.startswith("["):
-                                tail = ln[-300:]
-                                break
-                except Exception:
-                    pass
-                out.setdefault(target, {})[kind] = {
-                    "error": tail or "subprocess failed"}
+            except Exception:
+                pass
+            out.setdefault(target, {})[kind] = {
+                "error": tail or "subprocess failed"}
+        if emit is not None:
+            emit(out)
     return out
 
 
