@@ -131,51 +131,30 @@ def nbody_tempering(jax, jnp, np):
 
 @bench("sharded_100k")
 def sharded_100k(jax, jnp, np):
-    """BASELINE config 5: 1e5-walker sharded ensemble, GSPMD path (walker
-    sharding on the inputs; XLA partitions the whole scan — on 1 chip this
-    is the single-shard datapoint of the scaling curve)."""
-    import physicsbasedbayesianinference_tpu as pbbi
+    """BASELINE config 5: 1e5-walker sharded ensemble through the
+    PRODUCT multi-chip surface — parallel.sharded_run_hmc, which on TPU
+    meshes runs the fused Pallas transition per walker shard inside
+    shard_map (r5 default; 0.90x the unpartitioned kernel) and GSPMD on
+    CPU meshes. On 1 chip this is the single-shard datapoint of the
+    scaling curve."""
     from physicsbasedbayesianinference_tpu.ops import potentials as pot
-    from physicsbasedbayesianinference_tpu.parallel import mesh as meshmod
-    w, d, steps, iters = 102_400, 32, 16, 64
+    from physicsbasedbayesianinference_tpu.parallel import (
+        make_walker_mesh, sharded_run_hmc)
+    w, d, steps, iters = 102_400, 32, 16, 256
     target = pot.make_standard_normal(d)
-    kernel = pbbi.build_hmc_kernel(target, num_steps=steps,
-                                   integrator="pallas_leapfrog"
-                                   if jax.default_backend() == "tpu"
-                                   else "leapfrog")
-    mesh = meshmod.make_walker_mesh()
-    q0 = jax.device_put(
-        jax.random.normal(jax.random.key(12), (w, d), dtype=jnp.float32),
-        meshmod.walker_sharding(mesh, 2))
-    state = kernel.init(q0)
-
-    @jax.jit
-    def run(state, keys):
-        def body(st, k):
-            st, info = kernel.step(k, st, jnp.float32(0.64))
-            return st, jnp.mean(info.accept_prob)
-        return jax.lax.scan(body, state, keys)
-
-    keys = jax.random.split(jax.random.key(13), iters)
-    st, acc = run(state, keys)
-    float(jnp.mean(acc))
-    t0 = time.time()
-    st, acc = run(st, keys)
-    a = float(jnp.mean(acc))
-    dt = time.time() - t0
+    mesh = make_walker_mesh()
+    q0 = jax.random.normal(jax.random.key(12), (w, d), dtype=jnp.float32)
+    kw = dict(num_warmup=0, num_samples=iters, num_steps=steps,
+              init_step_size=0.63, collect="none")
+    sharded_run_hmc(jax.random.key(13), target, q0, mesh=mesh, **kw)
+    res = sharded_run_hmc(jax.random.key(14), target, q0, mesh=mesh, **kw)
+    tps = iters * w / res.sampling_seconds
     return {
         "devices": len(jax.devices()),
-        "accept_rate": a,
-        "walker_transitions_per_sec": round(iters * w / dt),
-        "per_device_transitions_per_sec": round(
-            iters * w / dt / len(jax.devices())),
-        # On the axon tunnel backend, ANY partitioned executable (even a
-        # trivial 1-device NamedSharding of the identical program) runs
-        # ~20x slower than its unpartitioned twin (bench.py measures the
-        # same config unpartitioned). Backend artifact, not a property of
-        # the sharding design; CPU-mesh tests validate multi-device
-        # correctness, bench.py records the true per-chip ceiling.
-        "note": "axon backend: partitioned executables carry ~20x overhead",
+        "kernel_used": res.kernel_used,
+        "accept_rate": float(res.accept_rate),
+        "walker_transitions_per_sec": round(tps),
+        "per_device_transitions_per_sec": round(tps / len(jax.devices())),
     }
 
 
