@@ -260,6 +260,12 @@ def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
             f"num_walkers={init_q.shape[0]} must be divisible by the mesh "
             f"size {mesh.devices.size}")
     is_tpu_mesh = all(d.platform == "tpu" for d in mesh.devices.flat)
+    if run_kwargs.get("metric") == "dense":
+        # the dense-metric kernel is pure XLA matmuls (MXU drift
+        # q += dt * p @ Sigma — measured 5.6x the diag XLA kernel,
+        # BASELINE.md r4 "MXU surprise") and GSPMD-partitionable;
+        # the fused shard_map path is diag-metric by construction
+        kernel = "xla"
     if kernel == "auto":
         kernel = "fused" if is_tpu_mesh else "xla"
 
