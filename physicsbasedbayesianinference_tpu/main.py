@@ -236,7 +236,8 @@ def run(cfg: RunConfig) -> dict:
             step_size=float(res.step_size),
             trajectory_time=float(res.trajectory_time),
             mean_num_steps=float(res.mean_num_steps),
-            kernel_used=res.kernel_used)
+            kernel_used=res.kernel_used,
+            warmup_kernel_used=res.warmup_kernel_used)
         if res.mean is not None:
             summary["posterior_mean"] = np.asarray(res.mean).tolist()
             summary["posterior_var"] = np.asarray(res.var).tolist()

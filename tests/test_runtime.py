@@ -296,3 +296,23 @@ def test_cli_checkpointed_smc_resumes(tmp_path):
     assert s3["checkpoints_written"] == 0
     np.testing.assert_allclose(s3["log_evidence"], s1["log_evidence"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cli_reparam_auto_eight_schools(tmp_path):
+    """The CLI's reparam="auto" flag (RunConfig.reparam) non-centers the
+    reference's centered eight-schools: the latent space carries the
+    decentered coordinate and the adapted step size is an order of
+    magnitude larger than the raw geometry allows."""
+    import json as _json
+
+    data = tmp_path / "es.json"
+    data.write_text(_json.dumps({
+        "J": 8, "y": [28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0],
+        "sigma": [15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0]}))
+    cfg = RunConfig(model="example:eight_schools", data_path=str(data),
+                    reparam="auto", num_walkers=128, num_warmup=150,
+                    num_samples=50, num_steps=10, collect="moments")
+    out = run(cfg)
+    assert out["config"]["reparam"] == "auto"
+    assert out["step_size"] > 0.15, out["step_size"]  # decentered geometry
+    assert 0.5 < out["accept_rate"] <= 1.0
