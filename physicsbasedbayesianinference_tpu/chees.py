@@ -39,7 +39,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .adaptation import da_init, da_update
+from .adaptation import (
+    build_warmup_schedule,
+    da_init,
+    da_update,
+    regularized_mass,
+    variance_init,
+    variance_update,
+)
 from .constants import Constants, NATURAL
 from .ensemble import thermal_momentum_std
 from .hmc import HMCInfo, HMCState, resolve_kernel_choice
@@ -333,6 +340,7 @@ def run_chees_hmc(
     max_steps: int = 1024,
     target_accept: float = 0.8,
     adapt_lr: float = 0.025,
+    adapt_mass: bool = True,
     mass: Union[float, Array] = 1.0,
     temperature: Union[float, Array] = 1.0,
     constants: Constants = NATURAL,
@@ -381,7 +389,6 @@ def run_chees_hmc(
                 emit_proposal=True)
     kernel_used = "fused" if fused_step is not None else "xla"
     state = init_fn(init_q, mass=mass)
-    inv_mass = 1.0 / jnp.asarray(mass, dtype)
 
     halton_all = jnp.asarray(
         halton_sequence(num_warmup + num_samples), dtype)
@@ -393,17 +400,25 @@ def run_chees_hmc(
 
     key, k_warm, k_sample = jax.random.split(key, 3)
 
-    # ---- warmup: joint (step size, tau) adaptation --------------------------
+    # ---- warmup: joint (step size, tau, diag metric) adaptation ------------
+    # Stan-like expanding segments (adaptation.build_warmup_schedule, the
+    # same schedule run_hmc uses): dual averaging + ChEES Adam run inside
+    # each segment's scan; between segments the CROSS-WALKER variance
+    # refreshes the diagonal mass (r5 — previously ChEES never adapted a
+    # metric, leaving per-dimension scale differences to the step size).
     step_size = jnp.asarray(init_step_size, dtype)
     tau = jnp.asarray(init_tau, dtype)
     if num_warmup > 0:
+        z = jnp.zeros((), dtype)
+
         @jax.jit
-        def warmup(state, keys, haltons):
-            da = da_init(jnp.asarray(init_step_size, dtype))
-            ch = chees_init(init_tau, dtype)
+        def warm_seg(state, keys, haltons, step_size0, tau0):
+            da = da_init(step_size0)
+            ch = ChEESAdaptState(log_tau=jnp.log(tau0), m=z, v=z, count=z)
+            varst = variance_init(num_dims, dtype)
 
             def body(carry, xs):
-                st, da, ch = carry
+                st, da, ch, varst = carry
                 k, h = xs
                 eps = jnp.exp(da.log_step)
                 n = steps_for(jnp.exp(ch.log_tau), h, eps)
@@ -415,17 +430,29 @@ def run_chees_hmc(
                 da = da_update(da, jnp.mean(info.accept_prob),
                                target=target_accept)
                 g = chees_gradient(q0, q1, p1, info.accept_prob, h,
-                                   inv_mass)
+                                   1.0 / st.ensemble.mass)
                 ch = chees_update(ch, g, lr=adapt_lr)
-                return (st, da, ch), None
+                varst = variance_update(varst, st.ensemble.q)
+                return (st, da, ch, varst), None
 
-            (state, da, ch), _ = jax.lax.scan(
-                body, (state, da, ch), (keys, haltons))
-            return state, jnp.exp(da.log_avg_step), jnp.exp(ch.log_tau)
+            (state, da, ch, varst), _ = jax.lax.scan(
+                body, (state, da, ch, varst), (keys, haltons))
+            return (state, jnp.exp(da.log_avg_step), jnp.exp(ch.log_tau),
+                    varst)
 
-        state, step_size, tau = warmup(
-            state, jax.random.split(k_warm, num_warmup),
-            halton_all[:num_warmup])
+        segments = build_warmup_schedule(num_warmup, adapt_mass=adapt_mass)
+        h_idx = 0
+        for seg in segments:
+            keys = jax.random.split(
+                jax.random.fold_in(k_warm, seg.index), seg.length)
+            hs = halton_all[h_idx:h_idx + seg.length]
+            h_idx += seg.length
+            state, step_size, tau, varst = warm_seg(
+                state, keys, hs, step_size, tau)
+            if seg.update_mass and adapt_mass:
+                mass_arr = 1.0 / regularized_mass(varst)
+                state = state.replace(
+                    ensemble=state.ensemble.replace(mass=mass_arr))
 
     # ---- sampling -----------------------------------------------------------
     @jax.jit

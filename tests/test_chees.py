@@ -100,3 +100,31 @@ def test_chees_kernel_option_cpu_fallback():
     assert res_f.kernel_used == "xla"  # no TPU here
     np.testing.assert_allclose(np.asarray(res_f.mean),
                                np.asarray(res_x.mean), rtol=1e-6)
+
+
+def test_chees_mass_adaptation_scales_step():
+    """r5: ChEES warmup adapts a cross-walker diagonal metric (the same
+    Stan-like segment schedule run_hmc uses). On a badly scaled Gaussian
+    the adapted mass must absorb the per-dimension variances (mass ~
+    1/var) and let dual averaging settle at a much larger step size than
+    the unadapted run, with posterior variances still correct."""
+    scales = jnp.asarray([0.1, 0.1, 1.0, 1.0, 10.0, 10.0, 1.0, 1.0])
+    target = pot.make_harmonic(1.0 / scales**2)  # var_d = scales^2
+    q0 = scales * jax.random.normal(jax.random.key(0), (1024, 8))
+
+    res_on = run_chees_hmc(
+        jax.random.key(1), target, q0, num_warmup=400, num_samples=200,
+        init_step_size=0.05, adapt_mass=True, collect="moments")
+    res_off = run_chees_hmc(
+        jax.random.key(1), target, q0, num_warmup=400, num_samples=200,
+        init_step_size=0.05, adapt_mass=False, collect="moments")
+
+    mass = np.asarray(res_on.state.ensemble.mass)
+    assert mass.shape == (8,)
+    # mass ~ 1/var: the 0.1-scale dims get ~100x the mass of unit dims
+    ratio = mass[0] / mass[2]
+    assert 30.0 < ratio < 300.0, mass
+    assert float(res_on.step_size) > 2.0 * float(res_off.step_size), (
+        float(res_on.step_size), float(res_off.step_size))
+    np.testing.assert_allclose(np.asarray(res_on.var), scales**2,
+                               rtol=0.25)
