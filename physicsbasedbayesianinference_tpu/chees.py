@@ -507,5 +507,6 @@ def run_chees_hmc(
         step_size=step_size, trajectory_time=tau,
         mean_num_steps=jnp.mean(scals[2]),
         kernel_used=kernel_used,
-        warmup_kernel_used="fused" if fused_warm_step is not None
-        else "xla")
+        warmup_kernel_used=("none" if num_warmup == 0
+                            else "fused" if fused_warm_step is not None
+                            else "xla"))

@@ -24,9 +24,10 @@ class RunConfig:
     # or "numpyro:<module>:<fn>" (requires numpyro installed)
     model: str = "builtin:std_normal_2d"
     data_path: Optional[str] = None
-    # non-centering for example:/numpyro: models — "" (off), "auto"
+    # non-centering for example:/native-DSL models — "" (off), "auto"
     # (rewrite latent loc-scale sites that depend on other latents), or
-    # a comma-separated site list (models/core.reparam)
+    # a comma-separated site list (models/core.reparam). numpyro: models
+    # must use numpyro's own reparam handlers (setting this raises).
     reparam: str = ""
 
     sampler: str = "hmc"            # hmc | nuts | smc | pt | chees

@@ -94,6 +94,17 @@ def build_potential(cfg: RunConfig):
                                   reparam=_reparam_config(cfg))
         return mp.potential, mp.init, mp.constrain_samples
     if kind == "numpyro":
+        if cfg.reparam:
+            # the native reparam handler rewrites THIS DSL's sample
+            # sites; it cannot see inside a numpyro model's trace.
+            # Fail fast rather than silently sampling the centered
+            # geometry the flag exists to fix — numpyro users apply
+            # numpyro.handlers.reparam/LocScaleReparam to the model
+            # before referencing it here.
+            raise ValueError(
+                "reparam= applies to example:/native-DSL models only; "
+                "for numpyro: models wrap the model with numpyro's own "
+                "reparam handlers before passing it")
         from .models.numpyro_adapter import from_numpyro
         mod_name, _, fn_name = name.partition(":")
         import importlib

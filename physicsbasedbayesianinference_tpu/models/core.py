@@ -143,6 +143,10 @@ class reparam(_Handler):
     """
 
     def __init__(self, config="auto"):
+        if isinstance(config, str) and config != "auto":
+            # a bare site name, NOT a char-iterable ("theta" must mean
+            # the site 'theta', never the sites 't','h','e','a')
+            config = [config]
         if config != "auto" and not isinstance(config, dict):
             config = {name: True for name in config}
         self.config = config

@@ -617,7 +617,8 @@ def make_fused_hmc_packed(
     boundary is a free row-major bitcast.
     """
     from .packed import (
-        FAST_TRANSCENDENTAL_SUBS, packed_grad, packed_value)
+        FAST_TRANSCENDENTAL_SUBS, PackedUnsupported, packed_grad,
+        packed_value)
 
     pack = 128 // num_dims
     if 128 % num_dims != 0:
@@ -665,11 +666,25 @@ def make_fused_hmc_packed(
         width = max(width, 6 * 128)
         budget = 16 * 1024 * 1024
         cap = budget // (4 * width)
+        if cap < 128:
+            # even the minimum 128-row block would exceed Mosaic's
+            # scoped-VMEM stack: there is no viable packed block, and a
+            # blind 128 would surface as a compile-time VMEM OOM with
+            # no fallback. Raising at build lets build_fused_hmc_kernel
+            # catch PackedUnsupported and route to the generic/XLA path.
+            raise PackedUnsupported(
+                f"packed intermediates ({width} floats/row) exceed the "
+                f"16MB scoped-VMEM budget at the 128-row minimum block")
         # round down to a power of two >= 128
         b = 128
         while b * 2 <= cap:
             b *= 2
         return b
+
+    # build-time viability check (float32, the framework dtype): surfaces
+    # the PackedUnsupported above where callers have a fallback, not
+    # mid-compile
+    _vmem_block_cap(jnp.float32)
 
     def transition(seed, q, u, g, *, step_size, p_std, inv_mass, beta,
                    scale=1.0, num_steps=num_steps):

@@ -42,12 +42,37 @@ from .mesh import WALKER_AXIS, walker_sharding
 
 
 def _specs_like(tree, num_walkers: int, axis_name: str):
-    """P(axis_name, None, ...) for walker-leading arrays, P() otherwise."""
-    def spec(x):
+    """Partition specs for a sampler-state pytree.
+
+    :class:`~..hmc.HMCState` trees get STRUCTURAL specs (the ensemble's
+    q/p/log_weight and the cached potential/grad are walker-leading; the
+    mass/metric is replicated regardless of its shape — a [D] adapted
+    diagonal mass with D == num_walkers must NOT be walker-sharded, the
+    shape-sniffing failure mode). Other trees fall back to the
+    leading-dim heuristic."""
+    from ..hmc import HMCState
+
+    def dim0_spec(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_walkers:
             return P(axis_name, *([None] * (x.ndim - 1)))
         return P()
-    return jax.tree_util.tree_map(spec, tree)
+
+    if isinstance(tree, HMCState):
+        ens = tree.ensemble
+        mass = jnp.asarray(ens.mass)
+        # per-walker masses are [W, 1] (ensemble convention) -> sharded;
+        # scalar / [D] diagonal metrics -> replicated
+        mass_spec = (P(axis_name, *([None] * (mass.ndim - 1)))
+                     if mass.ndim >= 2 and mass.shape[0] == num_walkers
+                     else P())
+        return HMCState(
+            ensemble=ens.replace(
+                q=P(axis_name, None), p=P(axis_name, None),
+                mass=mass_spec,
+                log_weight=P(axis_name)),
+            potential_energy=P(axis_name),
+            grad=P(axis_name, None))
+    return jax.tree_util.tree_map(dim0_spec, tree)
 
 
 def build_sharded_hmc_step(kernel: HMCKernel, mesh: Mesh,
@@ -265,6 +290,12 @@ def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
         # q += dt * p @ Sigma — measured 5.6x the diag XLA kernel,
         # BASELINE.md r4 "MXU surprise") and GSPMD-partitionable;
         # the fused shard_map path is diag-metric by construction
+        if kernel == "fused":
+            raise ValueError(
+                "kernel='fused' has no dense-metric variant (the fused "
+                "engines are diag-metric by construction); use "
+                "kernel='auto'/'xla' with metric='dense' — the dense "
+                "kernel's MXU matmuls partition under GSPMD")
         kernel = "xla"
     if kernel == "auto":
         kernel = "fused" if is_tpu_mesh else "xla"
@@ -274,8 +305,11 @@ def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
         if num_steps is None:
             raise TypeError("sharded_run_hmc requires num_steps=")
         temperature = run_kwargs.get("temperature", 1.0)
+        from ..constants import NATURAL as _NAT
+        constants = run_kwargs.get("constants", _NAT)
         try:
             ck = (id(potential_fn), int(num_steps), float(temperature),
+                  id(constants),
                   tuple(d.id for d in mesh.devices.flat),
                   int(init_q.shape[-1]))
         except TypeError:
@@ -284,15 +318,15 @@ def sharded_run_hmc(key, potential_fn, init_q, *, mesh: Optional[Mesh] = None,
         if cached is not None:
             wrapped = cached[0]
         else:
-            from ..constants import NATURAL
             fused = build_fused_hmc_kernel(
                 potential_fn, num_steps=int(num_steps),
-                temperature=temperature,
-                constants=run_kwargs.get("constants", NATURAL),
+                temperature=temperature, constants=constants,
                 num_dims=int(init_q.shape[-1]))
             wrapped = shard_map_kernel(fused, mesh)
             if ck is not None:
-                _SHARDED_KERNEL_CACHE[ck] = (wrapped, potential_fn, mesh)
+                # pin refs so the ids in the key stay valid
+                _SHARDED_KERNEL_CACHE[ck] = (wrapped, potential_fn, mesh,
+                                             constants)
         return run_hmc(key, potential_fn, init_q, **{
             **run_kwargs, "kernel": wrapped})
 

@@ -537,3 +537,17 @@ def test_reparam_funnel_model_decenters():
     v = np.asarray(res.samples)[50:, :, 0].reshape(-1)
     assert abs(v.mean()) < 0.3
     assert abs(v.std() - 3.0) < 0.45
+
+
+def test_reparam_bare_string_site_name():
+    """reparam='theta' must mean the SITE 'theta', never the character
+    sites 't','h','e','a' (strings are iterables — the silent-noop
+    foot-gun found in the r5 review)."""
+    from physicsbasedbayesianinference_tpu.models.examples import (
+        EIGHT_SCHOOLS_DATA, eight_schools)
+    from physicsbasedbayesianinference_tpu.models.potential import (
+        make_model_potential)
+
+    mp = make_model_potential(eight_schools, (), EIGHT_SCHOOLS_DATA,
+                              reparam="theta")
+    assert [s.name for s in mp.specs] == ["mu", "tau", "theta_decentered"]

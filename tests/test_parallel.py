@@ -269,3 +269,32 @@ def test_two_process_fused_checkpoint_restart(tmp_path):
     for key in ("mean_q", "mean_q2", "mean_u"):
         assert full[0][key] == resumed[0][key], (
             key, full[0][key], resumed[0][key])
+
+
+def test_sharded_specs_mass_not_walker_sharded_when_d_equals_w():
+    """r5 review finding: the spec inference walker-sharded an adapted
+    [D] diagonal mass whenever D == num_walkers. With structural specs
+    the metric stays replicated and a warmup-adapting sharded run at
+    W == D completes."""
+    fn = pot.make_standard_normal(32)
+    q0 = jax.random.normal(jax.random.key(0), (32, 32))
+    mesh = par.make_walker_mesh()
+    r = par.sharded_run_hmc(jax.random.key(1), fn, q0, mesh=mesh,
+                            kernel="fused", num_warmup=40, num_samples=10,
+                            num_steps=4, collect="none")
+    assert 0.0 < float(r.accept_rate) <= 1.0
+    assert np.asarray(r.mass).shape == (32,)
+    assert r.state.ensemble.mass.sharding.is_fully_replicated
+
+
+def test_sharded_dense_metric_rejects_explicit_fused():
+    fn = pot.make_standard_normal(4)
+    q0 = jnp.zeros((64, 4))
+    mesh = par.make_walker_mesh()
+    try:
+        par.sharded_run_hmc(jax.random.key(0), fn, q0, mesh=mesh,
+                            kernel="fused", metric="dense", num_warmup=0,
+                            num_samples=1, num_steps=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "dense" in str(e)

@@ -316,3 +316,12 @@ def test_cli_reparam_auto_eight_schools(tmp_path):
     assert out["config"]["reparam"] == "auto"
     assert out["step_size"] > 0.15, out["step_size"]  # decentered geometry
     assert 0.5 < out["accept_rate"] <= 1.0
+
+
+def test_cli_reparam_rejected_for_numpyro_models():
+    """The native reparam handler cannot see inside a numpyro model's
+    trace; setting reparam on a numpyro: reference must fail fast, not
+    silently sample the centered geometry (r5 review finding)."""
+    cfg = RunConfig(model="numpyro:some.mod:model", reparam="auto")
+    with pytest.raises(ValueError, match="numpyro"):
+        build_potential(cfg)
