@@ -221,6 +221,57 @@ class Gamma(Distribution):
 
 
 @dataclasses.dataclass(frozen=True)
+class InverseGamma(Distribution):
+    """Conjugate variance prior: value ~ InvGamma(a, b) iff 1/value ~
+    Gamma(a, rate=b)."""
+
+    concentration: Array = 1.0
+    scale: Array = 1.0
+    support = tfm.POSITIVE
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.scale)
+
+    def log_prob(self, value):
+        a, b = _field(self.concentration), _field(self.scale)
+        return (a * jnp.log(b) - (a + 1.0) * jnp.log(value)
+                - b / value - jsp.gammaln(a))
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(shape, self.batch_shape)
+        return _field(self.scale) / jax.random.gamma(
+            key, _field(self.concentration), shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class Weibull(Distribution):
+    """Weibull(concentration k, scale lambda): the standard survival /
+    reliability prior."""
+
+    concentration: Array = 1.0
+    scale: Array = 1.0
+    support = tfm.POSITIVE
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.concentration, self.scale)
+
+    def log_prob(self, value):
+        k, lam = _field(self.concentration), _field(self.scale)
+        z = value / lam
+        return (jnp.log(k) - jnp.log(lam) + (k - 1.0) * jnp.log(z)
+                - z**k)
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(shape, self.batch_shape)
+        u = jax.random.uniform(key, shape,
+                               minval=jnp.finfo(jnp.float32).tiny)
+        return _field(self.scale) * (-jnp.log(u)) ** (
+            1.0 / _field(self.concentration))
+
+
+@dataclasses.dataclass(frozen=True)
 class Beta(Distribution):
     a: Array = 1.0
     b: Array = 1.0
@@ -401,6 +452,59 @@ class Poisson(Distribution):
         return jax.random.poisson(key, _field(self.rate), shape)
 
 
+@dataclasses.dataclass(frozen=True)
+class NegativeBinomial(Distribution):
+    """Overdispersed counts, (total_count r, probs p) parameterisation:
+    log p(k) = log C(k + r - 1, k) + r log(1-p) + k log p."""
+
+    total_count: Array = 1.0
+    probs: Array = 0.5
+    support = None
+
+    @property
+    def batch_shape(self):
+        return _bshape(self.total_count, self.probs)
+
+    def log_prob(self, value):
+        r, p = _field(self.total_count), _field(self.probs)
+        return (jsp.gammaln(value + r) - jsp.gammaln(r)
+                - jsp.gammaln(value + 1.0)
+                + r * jnp.log1p(-p) + jsp.xlogy(value, p))
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(shape, self.batch_shape)
+        k_g, k_p = jax.random.split(key)
+        lam = jax.random.gamma(key=k_g, a=_field(self.total_count),
+                               shape=shape) \
+            * _field(self.probs) / (1.0 - _field(self.probs))
+        return jax.random.poisson(k_p, lam, shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class Categorical(Distribution):
+    """Categorical over the last axis of ``logits`` (observation-only for
+    HMC, like every discrete distribution here)."""
+
+    logits: Array = None  # [..., K]
+    support = None
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.logits)[:-1]
+
+    def log_prob(self, value):
+        logits = _field(self.logits)
+        norm = logits - jsp.logsumexp(logits, axis=-1, keepdims=True)
+        value = jnp.asarray(value, jnp.int32)
+        return jnp.take_along_axis(
+            norm, value[..., None], axis=-1)[..., 0]
+
+    def sample(self, key, shape=()):
+        shape = jnp.broadcast_shapes(shape, self.batch_shape)
+        return jax.random.categorical(key, _field(self.logits),
+                                      shape=shape)
+
+
 # -- multivariate ------------------------------------------------------------
 
 
@@ -449,6 +553,8 @@ class MultivariateNormal(Distribution):
 __all__ = [
     "Distribution", "Normal", "HalfNormal", "Cauchy", "HalfCauchy",
     "Uniform", "Exponential", "Gamma", "Beta", "LogNormal", "StudentT",
-    "Laplace", "Bernoulli", "BernoulliLogits", "Binomial", "Poisson",
+    "Laplace", "InverseGamma", "Weibull",
+    "Bernoulli", "BernoulliLogits", "Binomial", "Poisson",
+    "NegativeBinomial", "Categorical",
     "MultivariateNormal",
 ]
